@@ -1,0 +1,164 @@
+"""Typed, schema-validated configuration.
+
+Keeps the reference's YAML contract — four sections
+``preprocess_params`` / ``training_params`` / ``dataset_params`` /
+``model_params`` (reference: configs/config.yml:1-39) — but validates
+keys instead of silently forwarding unknowns into the model config
+(the reference passes ``dropout``/``pretrained_model`` into
+``AlbertConfig`` as inert attributes, train.py:263).
+
+TPU-specific knobs (mesh shape, precision, packing) live in the same
+sections with defaults that reproduce reference behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def _build(cls, section: str, raw: dict[str, Any]):
+    known = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(raw) - known
+    if unknown:
+        raise ConfigError(
+            f"unknown keys in '{section}': {sorted(unknown)}; known: {sorted(known)}"
+        )
+    return cls(**raw)
+
+
+@dataclass
+class PreprocessParams:
+    """Corpus preprocessing (reference: configs/config.yml:1-11)."""
+
+    tokenizer: str = "aubmindlab/bert-base-arabertv2"
+    num_shards: int = 10000
+    max_workers: int = 25
+    max_try_count: int = 3
+    timeout: int = 300
+    phonemizer_language: str = "ar"
+    preprocess_dir: str = "data/pl_bert"
+    hf_dataset_name: str = "wikimedia/wikipedia"
+    hf_dataset_split: str = "20231101.ar"
+    cleaned_output_dir: str = "wikipedia_20231101.ar.cleaned"
+    # TPU build extensions
+    g2p_backend: str = "espeak"  # espeak | identity (test fallback)
+    with_stress: bool = True
+    preserve_punctuation: bool = True
+
+
+@dataclass
+class TrainingParams:
+    """Training runtime (reference: configs/config.yml:13-22)."""
+
+    output_dir: str = "checkpoints"
+    mixed_precision: str = "bf16"  # fp32 | bf16 (TPU-native; ref used fp16)
+    batch_size: int = 96
+    save_interval: int = 1000
+    log_interval: int = 10
+    num_process: int = 1
+    num_steps: int = 1_000_000
+    learning_rate: float = 7e-5
+    training_dataset: str = ""
+    split: str = "train"
+    # TPU build extensions
+    max_epochs: int = 10  # reference hardcodes 10 (train.py:145)
+    seed: int = 1
+    data_axis: int = -1  # -1 → all devices on the data axis
+    model_axis: int = 1  # tensor-parallel degree (1 = pure DP, as reference)
+    weight_decay: float = 0.0  # reference AdamW default is 0.01 in torch; see note
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    keep_checkpoints: int = 0  # 0 → keep all (reference keeps all)
+    val_interval: int = 0  # 0 → validate at save_interval (reference behavior)
+    wandb_project: str = ""  # "" → stdout metrics only
+    remat: bool = False  # jax.checkpoint the encoder scan body
+    donate_state: bool = True
+
+    def __post_init__(self) -> None:
+        self.learning_rate = float(self.learning_rate)
+        if self.mixed_precision not in ("fp32", "bf16", "fp16", "no"):
+            raise ConfigError(f"bad mixed_precision: {self.mixed_precision}")
+
+
+@dataclass
+class DatasetParams:
+    """Masking distribution (reference: configs/config.yml:24-31)."""
+
+    word_separator: int = 87
+    max_seq_length: int = 512
+    word_pred_prob: float = 0.15
+    phoneme_mask_prob: float = 0.8
+    replace_prob: float = 0.1
+
+    def __post_init__(self) -> None:
+        if not 0.0 <= self.phoneme_mask_prob + self.replace_prob <= 1.0:
+            raise ConfigError("phoneme_mask_prob + replace_prob must be in [0,1]")
+
+
+@dataclass
+class ModelParams:
+    """ALBERT shape (reference: configs/config.yml:33-39 + train.py:263)."""
+
+    pretrained_model: str = ""
+    hidden_size: int = 768
+    num_attention_heads: int = 12
+    intermediate_size: int = 2048
+    max_position_embeddings: int = 512
+    num_hidden_layers: int = 12
+    dropout: float = 0.1
+    # HF AlbertConfig defaults the reference inherits implicitly:
+    embedding_size: int = 128
+    vocab_size: int = 188
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    hidden_act: str = "gelu_new"
+    # TPU build extensions
+    attention_impl: str = "auto"  # auto | xla | pallas
+    num_token_vocab: int = 0  # >0 enables the grapheme (token) head
+
+
+@dataclass
+class Config:
+    preprocess_params: PreprocessParams = field(default_factory=PreprocessParams)
+    training_params: TrainingParams = field(default_factory=TrainingParams)
+    dataset_params: DatasetParams = field(default_factory=DatasetParams)
+    model_params: ModelParams = field(default_factory=ModelParams)
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> "Config":
+        sections = {
+            "preprocess_params": PreprocessParams,
+            "training_params": TrainingParams,
+            "dataset_params": DatasetParams,
+            "model_params": ModelParams,
+        }
+        unknown = set(raw) - set(sections)
+        if unknown:
+            raise ConfigError(f"unknown config sections: {sorted(unknown)}")
+        kwargs = {
+            name: _build(sec_cls, name, raw.get(name) or {})
+            for name, sec_cls in sections.items()
+        }
+        return cls(**kwargs)
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path, "r", encoding="utf-8") as f:
+            raw = yaml.safe_load(f) or {}
+        return cls.from_dict(raw)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)

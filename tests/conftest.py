@@ -1,0 +1,18 @@
+"""Test harness: run JAX on an 8-device virtual CPU mesh.
+
+Must set the env vars before jax initializes (mirrors the reference's
+lack of a fake distributed backend — this IS our fake backend, per
+SURVEY.md §4).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,50 @@
+"""Config schema tests (reference config contract: configs/config.yml)."""
+
+import pytest
+
+from pl_bert_tpu.config import Config, ConfigError
+
+
+def test_load_default_config(tmp_path):
+    cfg = Config.load("configs/config.yml")
+    assert cfg.model_params.hidden_size == 768
+    assert cfg.model_params.vocab_size == 188
+    assert cfg.dataset_params.max_seq_length == 512
+    assert cfg.training_params.batch_size == 96
+    assert cfg.training_params.learning_rate == pytest.approx(7e-5)
+    # round trip
+    p = tmp_path / "c.yml"
+    cfg.save(str(p))
+    cfg2 = Config.load(str(p))
+    assert cfg2.to_dict() == cfg.to_dict()
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(ConfigError):
+        Config.from_dict({"model_params": {"hidden_sizee": 768}})
+    with pytest.raises(ConfigError):
+        Config.from_dict({"bogus_section": {}})
+
+
+def test_mask_probs_validated():
+    with pytest.raises(ConfigError):
+        Config.from_dict(
+            {"dataset_params": {"phoneme_mask_prob": 0.9, "replace_prob": 0.3}}
+        )
+
+
+def test_defaults_match_reference():
+    cfg = Config.from_dict({})
+    mp = cfg.model_params
+    assert (mp.num_attention_heads, mp.intermediate_size, mp.num_hidden_layers) == (
+        12,
+        2048,
+        12,
+    )
+    assert mp.embedding_size == 128  # HF AlbertConfig default the reference inherits
+    dp = cfg.dataset_params
+    assert (dp.word_pred_prob, dp.phoneme_mask_prob, dp.replace_prob) == (
+        0.15,
+        0.8,
+        0.1,
+    )
