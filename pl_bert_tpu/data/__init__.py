@@ -1,0 +1,11 @@
+from pl_bert_tpu.data.masking import (  # noqa: F401
+    MaskingParams,
+    WholeWordMasker,
+    mask_sample_reference_parity,
+)
+from pl_bert_tpu.data.dataset import (  # noqa: F401
+    MaskedPhonemeDataset,
+    TruncatedTextDataset,
+)
+from pl_bert_tpu.data.collate import collate_fixed, Batch  # noqa: F401
+from pl_bert_tpu.data.pipeline import build_dataloader, DataPipeline  # noqa: F401
