@@ -1,0 +1,314 @@
+"""Flax ALBERT encoder + PL-BERT heads.
+
+TPU-native reimplementation of the model stack the reference assembles
+from HF PyTorch parts (reference: model.py:5-29, train.py:263-270):
+a shared-layer ALBERT (cross-layer weight sharing, factorized
+embedding vocab→embedding_size→hidden_size) with a masked-phoneme
+prediction head and an optional grapheme (token) head.
+
+Design notes (TPU-first):
+- parameters live in fp32, compute dtype is configurable (bf16 default
+  under mixed precision) — matmuls hit the MXU in bf16 with fp32 accum;
+- the shared layer is one module applied ``num_hidden_layers`` times, so
+  the weights exist once; layers unroll under jit (12 applications of
+  the same params — XLA pipelines them) with optional remat;
+- attention is pluggable: "xla" (einsum, lets XLA fuse) or "pallas"
+  (fused flash-style kernel from pl_bert_tpu.ops);
+- the parameter tree mirrors HF AlbertModel naming closely enough that
+  export (pl_bert_tpu.export.to_hf) is a rename, not a reshape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pl_bert_tpu.config import ModelParams
+
+
+@dataclass(frozen=True)
+class AlbertConfig:
+    vocab_size: int = 188
+    embedding_size: int = 128
+    hidden_size: int = 768
+    num_attention_heads: int = 12
+    intermediate_size: int = 2048
+    max_position_embeddings: int = 512
+    num_hidden_layers: int = 12
+    type_vocab_size: int = 2
+    dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    hidden_act: str = "gelu_new"
+    attention_impl: str = "auto"  # auto | xla | pallas
+    dtype: Any = jnp.float32  # compute dtype (params stay fp32)
+    remat: bool = False
+
+    @classmethod
+    def from_params(cls, p: ModelParams, dtype=jnp.float32, remat: bool = False):
+        return cls(
+            vocab_size=p.vocab_size,
+            embedding_size=p.embedding_size,
+            hidden_size=p.hidden_size,
+            num_attention_heads=p.num_attention_heads,
+            intermediate_size=p.intermediate_size,
+            max_position_embeddings=p.max_position_embeddings,
+            num_hidden_layers=p.num_hidden_layers,
+            dropout=p.dropout,
+            layer_norm_eps=p.layer_norm_eps,
+            initializer_range=p.initializer_range,
+            hidden_act=p.hidden_act,
+            attention_impl=p.attention_impl,
+            dtype=dtype,
+            remat=remat,
+        )
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+def _act(name: str):
+    if name in ("gelu_new", "gelu_python"):  # HF's tanh-approximated gelu
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "relu":
+        return jax.nn.relu
+    raise ValueError(f"unsupported activation: {name}")
+
+
+def _dense(cfg: AlbertConfig, features: int, name: str) -> nn.Dense:
+    return nn.Dense(
+        features,
+        dtype=cfg.dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.normal(cfg.initializer_range),
+        name=name,
+    )
+
+
+class AlbertEmbeddings(nn.Module):
+    """word + position + token-type embeddings at ``embedding_size``
+    (factorized — projection to hidden_size happens in the encoder)."""
+
+    cfg: AlbertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, deterministic=True):
+        cfg = self.cfg
+        emb_init = nn.initializers.normal(cfg.initializer_range)
+        word_emb = nn.Embed(
+            cfg.vocab_size, cfg.embedding_size, embedding_init=emb_init,
+            param_dtype=jnp.float32, name="word_embeddings",
+        )(input_ids)
+        positions = jnp.arange(input_ids.shape[-1])[None, :]
+        pos_emb = nn.Embed(
+            cfg.max_position_embeddings, cfg.embedding_size,
+            embedding_init=emb_init, param_dtype=jnp.float32,
+            name="position_embeddings",
+        )(positions)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        type_emb = nn.Embed(
+            cfg.type_vocab_size, cfg.embedding_size, embedding_init=emb_init,
+            param_dtype=jnp.float32, name="token_type_embeddings",
+        )(token_type_ids)
+        x = word_emb + pos_emb + type_emb
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+            param_dtype=jnp.float32, name="LayerNorm",
+        )(x)
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        return x.astype(cfg.dtype)
+
+
+class AlbertSelfAttention(nn.Module):
+    cfg: AlbertConfig
+
+    @nn.compact
+    def __call__(self, hidden, attention_bias, deterministic=True):
+        cfg = self.cfg
+        B, L, H = hidden.shape
+        nh, hd = cfg.num_attention_heads, cfg.head_dim
+
+        q = _dense(cfg, H, "query")(hidden).reshape(B, L, nh, hd)
+        k = _dense(cfg, H, "key")(hidden).reshape(B, L, nh, hd)
+        v = _dense(cfg, H, "value")(hidden).reshape(B, L, nh, hd)
+
+        impl = cfg.attention_impl
+        if impl == "auto":
+            from pl_bert_tpu.ops.attention import pallas_supported
+
+            impl = "pallas" if pallas_supported(L, hd) else "xla"
+        if impl == "pallas":
+            from pl_bert_tpu.ops.attention import fused_attention
+
+            ctx = fused_attention(q, k, v, attention_bias, dtype=cfg.dtype)
+            ctx = nn.Dropout(cfg.dropout)(ctx, deterministic=deterministic)
+        else:
+            scores = jnp.einsum(
+                "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+            )
+            scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+            if attention_bias is not None:
+                scores = scores + attention_bias
+            probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+            probs = nn.Dropout(cfg.dropout)(probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
+
+        out = _dense(cfg, H, "dense")(ctx.reshape(B, L, H))
+        out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+        out = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+            param_dtype=jnp.float32, name="LayerNorm",
+        )(hidden + out)
+        return out
+
+
+class AlbertLayer(nn.Module):
+    """One transformer block; instantiated ONCE and applied N times."""
+
+    cfg: AlbertConfig
+
+    @nn.compact
+    def __call__(self, hidden, attention_bias, deterministic=True):
+        cfg = self.cfg
+        attn_out = AlbertSelfAttention(cfg, name="attention")(
+            hidden, attention_bias, deterministic
+        )
+        ffn = _dense(cfg, cfg.intermediate_size, "ffn")(attn_out)
+        ffn = _act(cfg.hidden_act)(ffn)
+        ffn = _dense(cfg, cfg.hidden_size, "ffn_output")(ffn)
+        ffn = nn.Dropout(cfg.dropout)(ffn, deterministic=deterministic)
+        return nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+            param_dtype=jnp.float32, name="full_layer_layer_norm",
+        )(ffn + attn_out)
+
+
+class AlbertEncoder(nn.Module):
+    cfg: AlbertConfig
+
+    @nn.compact
+    def __call__(self, embeddings, attention_bias, deterministic=True):
+        cfg = self.cfg
+        hidden = _dense(cfg, cfg.hidden_size, "embedding_hidden_mapping_in")(
+            embeddings
+        )
+        layer_cls = AlbertLayer
+        if cfg.remat:
+            layer_cls = nn.remat(AlbertLayer, static_argnums=(3,))
+        shared = layer_cls(cfg, name="albert_layer")
+        for _ in range(cfg.num_hidden_layers):
+            hidden = shared(hidden, attention_bias, deterministic)
+        return hidden
+
+
+def attention_bias_from_mask(attention_mask, dtype=jnp.float32):
+    """[B, L] validity mask → additive [B, 1, 1, L] bias (0 / large-neg).
+
+    Uses finfo.min like HF's extended attention mask so exported models
+    are numerically identical under partial masks.
+    """
+    neg = jnp.finfo(jnp.float32).min
+    bias = (1.0 - attention_mask.astype(jnp.float32)) * neg
+    return bias[:, None, None, :]
+
+
+class AlbertModel(nn.Module):
+    """Encoder trunk; returns last_hidden_state (and pooler output to
+    mirror HF AlbertModel's artifact surface for export)."""
+
+    cfg: AlbertConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask=None,
+        token_type_ids=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        emb = AlbertEmbeddings(cfg, name="embeddings")(
+            input_ids, token_type_ids, deterministic
+        )
+        bias = (
+            attention_bias_from_mask(attention_mask)
+            if attention_mask is not None
+            else None
+        )
+        hidden = AlbertEncoder(cfg, name="encoder")(emb, bias, deterministic)
+        pooled = nn.tanh(
+            _dense(cfg, cfg.hidden_size, "pooler")(hidden[:, 0])
+        )
+        return hidden, pooled
+
+
+class PhonemeOnlyModel(nn.Module):
+    """Encoder + phoneme MLM head (reference: model.py:19-29)."""
+
+    cfg: AlbertConfig
+    num_phonemes: int = 188
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, deterministic=True):
+        hidden, _ = AlbertModel(self.cfg, name="encoder")(
+            input_ids, attention_mask, deterministic=deterministic
+        )
+        logits = _dense(self.cfg, self.num_phonemes, "phoneme_predictor")(hidden)
+        return logits.astype(jnp.float32)
+
+
+class MultiTaskModel(nn.Module):
+    """Encoder + phoneme head + grapheme/token head (reference: model.py:5-18)."""
+
+    cfg: AlbertConfig
+    num_phonemes: int = 188
+    num_tokens: int = 60_000
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, deterministic=True):
+        hidden, _ = AlbertModel(self.cfg, name="encoder")(
+            input_ids, attention_mask, deterministic=deterministic
+        )
+        phoneme = _dense(self.cfg, self.num_phonemes, "phoneme_predictor")(hidden)
+        token = _dense(self.cfg, self.num_tokens, "token_predictor")(hidden)
+        return phoneme.astype(jnp.float32), token.astype(jnp.float32)
+
+
+def build_model(
+    params: ModelParams, mixed_precision: str = "bf16", remat: bool = False
+):
+    """Model factory mirroring the reference's initialize_model
+    (reference: train.py:261-272): phoneme-only unless a token vocab is
+    configured."""
+    dtype = jnp.bfloat16 if mixed_precision in ("bf16", "fp16") else jnp.float32
+    cfg = AlbertConfig.from_params(params, dtype=dtype, remat=remat)
+    if params.num_token_vocab > 0:
+        return MultiTaskModel(cfg, params.vocab_size, params.num_token_vocab)
+    return PhonemeOnlyModel(cfg, params.vocab_size)
+
+
+def init_params(model, max_seq_length: int, seed: int = 0):
+    dummy = jnp.zeros((1, max_seq_length), jnp.int32)
+    mask = jnp.ones((1, max_seq_length), jnp.int32)
+    return model.init(
+        {"params": jax.random.PRNGKey(seed)}, dummy, mask, deterministic=True
+    )["params"]
+
+
+def param_count(params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def config_dict(cfg: AlbertConfig) -> dict:
+    d = dataclasses.asdict(cfg)
+    d["dtype"] = str(cfg.dtype.__name__ if hasattr(cfg.dtype, "__name__") else cfg.dtype)
+    return d

@@ -1,0 +1,66 @@
+"""Fused attention dispatch.
+
+``fused_attention(q, k, v, bias)`` computes softmax(qk^T/sqrt(d)+bias)v
+for [B, L, H, D] tensors. On TPU it runs the Pallas flash-style kernel
+(pl_bert_tpu.ops.flash_attention); elsewhere (CPU tests) it falls back
+to the einsum path, which XLA fuses well for seq-512.
+
+Note on dropout: the reference (HF Albert) drops attention *probs*
+inside the softmax; the fused kernel keeps probs internal, so the model
+applies dropout to the attention *output* instead when the kernel is in
+use — same regularization budget, documented divergence.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.cache
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.cache
+def _kernel_available() -> bool:
+    try:
+        from pl_bert_tpu.ops import flash_attention  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def pallas_supported(seq_len: int, head_dim: int) -> bool:
+    """The fused kernel handles tile-aligned shapes on TPU."""
+    return (
+        _on_tpu()
+        and _kernel_available()
+        and seq_len % 128 == 0
+        and head_dim % 64 == 0
+    )
+
+
+def xla_attention(q, k, v, bias=None, dtype=jnp.bfloat16):
+    """Reference einsum attention (fp32 softmax accumulation)."""
+    head_dim = q.shape[-1]
+    scores = jnp.einsum("blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+    if bias is not None:
+        scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    return jnp.einsum("bhlm,bmhd->blhd", probs, v)
+
+
+def fused_attention(q, k, v, bias=None, dtype=jnp.bfloat16):
+    if pallas_supported(q.shape[1], q.shape[-1]):
+        from pl_bert_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias, out_dtype=dtype)
+    return xla_attention(q, k, v, bias, dtype=dtype)
