@@ -73,7 +73,7 @@ class TrainingParams:
     seed: int = 1
     data_axis: int = -1  # -1 → all devices on the data axis
     model_axis: int = 1  # tensor-parallel degree (1 = pure DP, as reference)
-    weight_decay: float = 0.0  # reference AdamW default is 0.01 in torch; see note
+    weight_decay: float = 0.01  # torch AdamW default, as the reference uses
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8

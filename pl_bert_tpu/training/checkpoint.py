@@ -1,0 +1,117 @@
+"""Checkpoint management.
+
+Keeps the reference's artifact contract (reference: train.py:46-105,
+412-425): checkpoints named ``step_{N}`` inside the run directory,
+latest discovered by parsing names, state = {params, optimizer state,
+step, epoch}. Storage is orbax (sharded-array aware, TPU-native)
+instead of torch pickles; state trees are round-tripped through
+``flax.serialization`` state-dicts so optax container types restore
+onto arbitrary templates. Unlike the reference, the data-pipeline
+position (epoch, batch index) is saved so resume is order-deterministic
+(SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+from flax import serialization
+
+_STEP_RE = re.compile(r"^step_(\d+)$")
+
+
+def find_latest_checkpoint(log_dir: str) -> tuple[bool, int]:
+    """Scan run dir for step_* checkpoints → (found, latest_step)."""
+    try:
+        steps = [
+            int(m.group(1))
+            for name in os.listdir(log_dir)
+            if (m := _STEP_RE.match(name))
+            and os.path.isdir(os.path.join(log_dir, name))
+        ]
+    except OSError:
+        return False, 0
+    if not steps:
+        return False, 0
+    return True, max(steps)
+
+
+def checkpoint_path(log_dir: str, step: int) -> str:
+    return os.path.join(os.path.abspath(log_dir), f"step_{step}")
+
+
+def save_checkpoint(
+    log_dir: str,
+    step: int,
+    params: Any,
+    opt_state: Any,
+    epoch: int = 0,
+    batch_in_epoch: int = 0,
+    keep: int = 0,
+) -> str:
+    """Write step_{N}; optionally retain only the newest ``keep``."""
+    path = checkpoint_path(log_dir, step)
+    payload = {
+        "params": serialization.to_state_dict(params),
+        "opt_state": serialization.to_state_dict(opt_state),
+        "meta": {
+            "step": np.int64(step),
+            "epoch": np.int64(epoch),
+            "batch_in_epoch": np.int64(batch_in_epoch),
+        },
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    if keep > 0:
+        found = sorted(
+            int(m.group(1))
+            for name in os.listdir(log_dir)
+            if (m := _STEP_RE.match(name))
+        )
+        for old in found[:-keep]:
+            shutil.rmtree(checkpoint_path(log_dir, old), ignore_errors=True)
+    return path
+
+
+def _place_like(template: Any, tree: Any) -> Any:
+    """Device_put restored leaves onto the template's shardings."""
+
+    def place(tmpl, arr):
+        if hasattr(tmpl, "sharding"):
+            return jax.device_put(
+                np.asarray(arr, dtype=tmpl.dtype), tmpl.sharding
+            )
+        return arr
+
+    return jax.tree.map(place, template, tree)
+
+
+def load_checkpoint(
+    path: str, params_template: Any, opt_state_template: Any
+) -> tuple[Any, Any, dict]:
+    """Restore (params, opt_state, meta) onto the templates' shardings."""
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(os.path.abspath(path))
+    params = serialization.from_state_dict(params_template, raw["params"])
+    opt_state = serialization.from_state_dict(opt_state_template, raw["opt_state"])
+    meta = {k: int(v) for k, v in raw["meta"].items()}
+    return (
+        _place_like(params_template, params),
+        _place_like(opt_state_template, opt_state),
+        meta,
+    )
+
+
+def load_params_only(path: str, params_template: Any) -> Any:
+    """Warm-start: restore params only, ignore optimizer state
+    (reference pretrained_model semantics, train.py:274-276)."""
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(os.path.abspath(path))
+    params = serialization.from_state_dict(params_template, raw["params"])
+    return _place_like(params_template, params)

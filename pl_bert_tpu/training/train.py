@@ -1,0 +1,303 @@
+"""Training driver.
+
+End-to-end pretraining entry point mirroring the reference's runtime
+contract (reference: train.py:133-172 and helpers):
+
+- ``--config_path`` / ``--run_name`` CLI (reference: train.py:27-32);
+- run-dir semantics: existing dir + config copy → resume with the saved
+  config; dir without config → stale step_* cleaned, fresh start
+  (reference: train.py:174-210);
+- warm-start from ``model_params.pretrained_model``, then auto-resume
+  from the latest ``step_N`` (reference: train.py:261-284);
+- step-based loop capped by ``num_steps`` and ``max_epochs`` epochs,
+  validation + checkpoint every ``save_interval`` (reference:
+  train.py:338-379).
+
+TPU-native architecture: one jitted SPMD train step over a
+(data, model) mesh; host masking pipeline prefetched on a thread; batches
+device_put with the data-axis sharding (the only host→device transfer
+per step); rank-0-gated logging via ``jax.process_index``.
+
+Run: ``python -m pl_bert_tpu.training.train --config_path configs/config.yml
+--run_name myrun``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import time
+
+import jax
+import numpy as np
+
+from pl_bert_tpu.config import Config
+from pl_bert_tpu.data.pipeline import build_dataloader, prefetch
+from pl_bert_tpu.models.albert import build_model, init_params
+from pl_bert_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+)
+from pl_bert_tpu.training.checkpoint import (
+    checkpoint_path,
+    find_latest_checkpoint,
+    load_checkpoint,
+    load_params_only,
+    save_checkpoint,
+)
+from pl_bert_tpu.training.metrics import MetricsLogger, is_main_process
+from pl_bert_tpu.training.train_step import (
+    TrainState,
+    batch_to_arrays,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def parse_args(argv=None) -> dict:
+    p = argparse.ArgumentParser(description="Pretrain phoneme-level BERT on TPU")
+    p.add_argument("--config_path", type=str, default="configs/config.yml")
+    p.add_argument("--run_name", type=str, default="default")
+    return vars(p.parse_args(argv))
+
+
+def setup_config_and_directories(args: dict, config_path: str):
+    """Resume-vs-fresh run directory handling (reference semantics)."""
+    original = Config.load(config_path)
+    log_dir = os.path.join(original.training_params.output_dir, args["run_name"])
+    config_copy = os.path.join(log_dir, os.path.basename(config_path))
+
+    if os.path.exists(log_dir):
+        if os.path.exists(config_copy):
+            return Config.load(config_copy), log_dir, True
+        for name in os.listdir(log_dir):  # stale run without config
+            if name.startswith("step_"):
+                path = os.path.join(log_dir, name)
+                shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+        shutil.copy(config_path, config_copy)
+        return original, log_dir, False
+    os.makedirs(log_dir, exist_ok=True)
+    shutil.copy(config_path, config_copy)
+    return original, log_dir, False
+
+
+def make_synthetic_corpus(n_samples: int, seed: int = 0) -> list[dict]:
+    """Random phoneme-word corpus — zero-egress stand-in for wiki shards
+    (used by smoke tests and the bench harness)."""
+    rng = np.random.default_rng(seed)
+    alphabet = list("ɑɐɒæbdfɡhijklmnopqrstuvwzʃʒθðŋɹɾʔˈˌː")
+    corpus = []
+    for _ in range(n_samples):
+        n_words = int(rng.integers(40, 120))
+        words = [
+            "".join(rng.choice(alphabet, size=int(rng.integers(2, 10))))
+            for _ in range(n_words)
+        ]
+        corpus.append({"phonemes": words})
+    return corpus
+
+
+def load_training_dataset(name: str, split: str):
+    """Resolve the configured dataset: synthetic:N, a local save_to_disk
+    path, or an HF hub id (reference: train.py:242-259)."""
+    if name.startswith("synthetic"):
+        n = int(name.split(":", 1)[1]) if ":" in name else 2048
+        return make_synthetic_corpus(n)
+    if os.path.isdir(name):
+        from datasets import load_from_disk
+
+        ds = load_from_disk(name)
+        return ds[split] if split and hasattr(ds, "keys") and split in getattr(ds, "column_names", {}) else ds
+    from datasets import load_dataset
+
+    return load_dataset(name, split=split)
+
+
+class Trainer:
+    """Wires mesh, model, optimizer, data and checkpoints together."""
+
+    def __init__(self, config: Config, log_dir: str, resuming: bool, dataset=None):
+        self.config = config
+        self.log_dir = log_dir
+        self.resuming = resuming
+        tp, mp, dp = (
+            config.training_params,
+            config.model_params,
+            config.dataset_params,
+        )
+
+        self.mesh = make_mesh(tp.data_axis, tp.model_axis)
+        self.model = build_model(mp, tp.mixed_precision, remat=tp.remat)
+        self.tx = make_optimizer(tp)
+        self.use_token_ids = mp.num_token_vocab > 0
+
+        if dataset is None:
+            dataset = load_training_dataset(tp.training_dataset, tp.split)
+        self.train_data, self.val_data = build_dataloader(
+            dataset,
+            batch_size=tp.batch_size,
+            dataset_config={
+                "word_pred_prob": dp.word_pred_prob,
+                "phoneme_mask_prob": dp.phoneme_mask_prob,
+                "replace_prob": dp.replace_prob,
+                "word_separator": dp.word_separator,
+                "max_seq_length": dp.max_seq_length,
+            },
+            use_token_ids=self.use_token_ids,
+            seed=tp.seed,
+        )
+
+        # init params on host, then shard onto the mesh
+        params = init_params(self.model, dp.max_seq_length, seed=tp.seed)
+        shardings = param_shardings(self.mesh, params)
+        params = jax.tree.map(jax.device_put, params, shardings)
+        opt_state = jax.jit(
+            self.tx.init, out_shardings=param_shardings(self.mesh, jax.eval_shape(self.tx.init, params))
+        )(params)
+
+        self.state = TrainState(
+            params, opt_state, jax.device_put(np.int32(0))
+        )
+        self.start_epoch = 0
+        self.start_batch = 0
+        self.current_step = 0
+
+        if mp.pretrained_model:
+            print(f"Loading pretrained model from: {mp.pretrained_model}")
+            params = load_params_only(mp.pretrained_model, self.state.params)
+            self.state = self.state._replace(params=params)
+
+        found, latest = find_latest_checkpoint(log_dir)
+        if found and resuming:
+            path = checkpoint_path(log_dir, latest)
+            params, opt_state, meta = load_checkpoint(
+                path, self.state.params, self.state.opt_state
+            )
+            self.state = TrainState(
+                params, opt_state, jax.device_put(np.int32(meta["step"]))
+            )
+            self.current_step = meta["step"]
+            self.start_epoch = meta["epoch"]
+            self.start_batch = meta["batch_in_epoch"]
+            print(f"Checkpoint {path} loaded.")
+
+        self.train_step = make_train_step(
+            self.model, self.tx, self.use_token_ids, donate=tp.donate_state
+        )
+        self.eval_step = make_eval_step(self.model, self.use_token_ids)
+        self.batch_sharding = batch_sharding(self.mesh)
+        self.base_rng = jax.random.PRNGKey(tp.seed)
+        self.metrics = MetricsLogger(
+            log_dir, tp.log_interval, tp.wandb_project, config.to_dict()
+        )
+
+    def _put(self, batch) -> dict:
+        return jax.device_put(batch_to_arrays(batch), self.batch_sharding)
+
+    def validate(self) -> tuple[float, float]:
+        losses, accs = [], []
+        bs = self.val_data.batch_size
+        for batch in self.val_data.batches(epoch=0):
+            n = len(batch.lengths)
+            if n != bs:
+                # static shapes: zero-pad the ragged tail batch; dummy rows
+                # have length 0 and no mask positions, so they contribute
+                # nothing to either metric
+                import dataclasses
+
+                pad = lambda a: np.concatenate(
+                    [a, np.zeros((bs - n, *a.shape[1:]), a.dtype)]
+                )
+                batch = dataclasses.replace(
+                    batch,
+                    masked_ids=pad(batch.masked_ids),
+                    label_ids=pad(batch.label_ids),
+                    token_ids=pad(batch.token_ids),
+                    mask_positions=pad(batch.mask_positions),
+                    lengths=pad(batch.lengths),
+                )
+            loss, acc = self.eval_step(self.state.params, self._put(batch))
+            losses.append(float(loss))
+            accs.append(float(acc))
+        if not losses:
+            return 0.0, 0.0
+        return float(np.mean(losses)), float(np.mean(accs))
+
+    def train(self) -> int:
+        tp = self.config.training_params
+        dp = self.config.dataset_params
+        tokens_per_batch = tp.batch_size * dp.max_seq_length
+
+        val_loss, val_acc = self.validate()
+        self.metrics.log_validation(self.current_step, self.start_epoch, val_loss, val_acc)
+
+        epoch = self.start_epoch
+        start_batch = self.start_batch
+        while epoch < tp.max_epochs:
+            epoch += 1
+            if is_main_process():
+                print(f"Starting epoch {epoch}", flush=True)
+            batch_idx = start_batch
+            it = self.train_data.batches(epoch=epoch, start_batch=start_batch)
+            start_batch = 0
+            for batch in prefetch(it, size=2):
+                self.state, metrics = self.train_step(
+                    self.state, self._put(batch), self.base_rng
+                )
+                self.current_step += 1
+                batch_idx += 1
+                self.metrics.log_step(
+                    self.current_step, epoch,
+                    {k: float(v) for k, v in metrics.items()},
+                    tokens_per_batch,
+                )
+                if self.current_step % tp.save_interval == 0:
+                    save_checkpoint(
+                        self.log_dir, self.current_step, self.state.params,
+                        self.state.opt_state, epoch, batch_idx,
+                        keep=tp.keep_checkpoints,
+                    )
+                    val_loss, val_acc = self.validate()
+                    self.metrics.log_validation(
+                        self.current_step, epoch, val_loss, val_acc
+                    )
+                if self.current_step >= tp.num_steps:
+                    if self.current_step % tp.save_interval != 0:
+                        # final-step checkpoint (improvement over the
+                        # reference, which loses the post-save tail)
+                        save_checkpoint(
+                            self.log_dir, self.current_step, self.state.params,
+                            self.state.opt_state, epoch, batch_idx,
+                            keep=tp.keep_checkpoints,
+                        )
+                    return self.current_step
+        return self.current_step
+
+
+def train(args: dict | None = None, dataset=None) -> int:
+    if args is None:
+        args = parse_args()
+    config, log_dir, resuming = setup_config_and_directories(
+        args, args["config_path"]
+    )
+    if is_main_process():
+        verb = "Resuming" if resuming else "Starting new"
+        print(f"{verb} training run in '{log_dir}'.", flush=True)
+    trainer = Trainer(config, log_dir, resuming, dataset=dataset)
+    t0 = time.perf_counter()
+    final_step = trainer.train()
+    if is_main_process():
+        print(
+            f"Training completed at step {final_step} "
+            f"({time.perf_counter() - t0:.1f}s)",
+            flush=True,
+        )
+    trainer.metrics.close()
+    return final_step
+
+
+if __name__ == "__main__":
+    train()

@@ -1,0 +1,122 @@
+"""Jitted SPMD train/eval steps.
+
+Replaces the reference's per-batch flow (reference: train.py:338-390):
+mask→forward→ragged loss loop→backward→AdamW step, with one fused XLA
+computation per step — loss, grads, optimizer update and the
+data-parallel gradient mean (an XLA all-reduce over the mesh's data
+axis, the NCCL-equivalent; SURVEY §2.3) all inside a single jit.
+
+The optimizer matches the reference: torch AdamW defaults
+(betas 0.9/0.999, eps 1e-8, weight_decay 0.01 applied to ALL params —
+the reference does not exclude LayerNorm/bias; reference train.py:272).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pl_bert_tpu.config import TrainingParams
+from pl_bert_tpu.ops.masked_ce import masked_accuracy, masked_phoneme_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array  # int32 scalar
+
+
+def make_optimizer(tp: TrainingParams) -> optax.GradientTransformation:
+    return optax.adamw(
+        learning_rate=tp.learning_rate,
+        b1=tp.adam_b1,
+        b2=tp.adam_b2,
+        eps=tp.adam_eps,
+        weight_decay=tp.weight_decay,
+    )
+
+
+def _forward_loss(model, params, batch, rngs, deterministic, use_token_ids):
+    attention_mask = (
+        jnp.arange(batch["masked_ids"].shape[1])[None, :]
+        < batch["lengths"][:, None]
+    ).astype(jnp.int32)
+    out = model.apply(
+        {"params": params},
+        batch["masked_ids"],
+        attention_mask,
+        deterministic=deterministic,
+        rngs=rngs,
+    )
+    if use_token_ids:
+        phoneme_logits, token_logits = out
+        loss_p = masked_phoneme_loss(
+            phoneme_logits, batch["label_ids"], batch["mask_positions"],
+            batch["lengths"],
+        )
+        loss_t = masked_phoneme_loss(
+            token_logits, batch["token_ids"], batch["mask_positions"],
+            batch["lengths"],
+        )
+        return loss_p + loss_t, (phoneme_logits, loss_p, loss_t)
+    logits = out
+    loss = masked_phoneme_loss(
+        logits, batch["label_ids"], batch["mask_positions"], batch["lengths"]
+    )
+    return loss, (logits, loss, jnp.float32(0.0))
+
+
+def make_train_step(model, tx, use_token_ids: bool = False, donate: bool = True):
+    """Build the jitted (state, batch, rng) → (state, metrics) step."""
+
+    def step_fn(state: TrainState, batch: dict, base_rng: jax.Array):
+        rng = jax.random.fold_in(base_rng, state.step)
+
+        def loss_fn(params):
+            return _forward_loss(
+                model, params, batch, {"dropout": rng}, False, use_token_ids
+            )
+
+        (loss, (_, loss_p, loss_t)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "phoneme_loss": loss_p,
+            "token_loss": loss_t,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, use_token_ids: bool = False):
+    """Jitted eval step → (phoneme_loss, masked accuracy)."""
+
+    def step_fn(params, batch: dict):
+        _, (logits, loss_p, _) = _forward_loss(
+            model, params, batch, None, True, use_token_ids
+        )
+        acc = masked_accuracy(
+            logits, batch["label_ids"], batch["mask_positions"], batch["lengths"]
+        )
+        return loss_p, acc
+
+    return jax.jit(step_fn)
+
+
+def batch_to_arrays(batch) -> dict:
+    """Batch dataclass → dict of arrays (the jit-friendly pytree)."""
+    return {
+        "masked_ids": batch.masked_ids,
+        "label_ids": batch.label_ids,
+        "token_ids": batch.token_ids,
+        "mask_positions": batch.mask_positions,
+        "lengths": batch.lengths,
+    }

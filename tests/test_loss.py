@@ -1,0 +1,115 @@
+"""Loss-semantics tests: the vectorized masked CE must equal the
+reference's per-sample ragged loop (reference: train.py:107-131)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pl_bert_tpu.ops.masked_ce import masked_accuracy, masked_phoneme_loss
+
+
+def _reference_loop_loss(logits, labels, lengths, masked_indices):
+    """Per-sample loop oracle with the reference's exact averaging."""
+    torch = pytest.importorskip("torch")
+    criterion = torch.nn.CrossEntropyLoss()
+    total, count = 0.0, 0
+    for lg, lb, ln, idx in zip(logits, labels, lengths, masked_indices):
+        if len(idx) > 0:
+            pred = torch.from_numpy(lg[:ln][idx])
+            tgt = torch.from_numpy(lb[:ln][idx]).long()
+            total = total + criterion(pred, tgt)
+            count += 1
+    return float(total / count) if count else 0.0
+
+
+def _random_case(rng, B=6, L=40, V=17, all_empty=False):
+    logits = rng.standard_normal((B, L, V)).astype(np.float32)
+    labels = rng.integers(0, V, size=(B, L)).astype(np.int32)
+    lengths = rng.integers(10, L + 1, size=B).astype(np.int32)
+    mask = np.zeros((B, L), dtype=bool)
+    masked_indices = []
+    for i in range(B):
+        if all_empty or (i == 0):  # sample 0 always empty → exercises count
+            masked_indices.append(np.array([], dtype=np.int64))
+            continue
+        k = int(rng.integers(1, 8))
+        idx = rng.choice(int(lengths[i]), size=min(k, int(lengths[i])), replace=False)
+        idx.sort()
+        masked_indices.append(idx)
+        mask[i, idx] = True
+    return logits, labels, lengths, mask, masked_indices
+
+
+def test_matches_reference_loop():
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        logits, labels, lengths, mask, idxs = _random_case(rng)
+        ref = _reference_loop_loss(logits, labels, lengths, idxs)
+        mine = float(
+            masked_phoneme_loss(
+                jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask),
+                jnp.asarray(lengths),
+            )
+        )
+        assert abs(mine - ref) < 1e-5, (trial, mine, ref)
+
+
+def test_no_masks_returns_zero():
+    rng = np.random.default_rng(1)
+    logits, labels, lengths, mask, _ = _random_case(rng, all_empty=True)
+    out = float(
+        masked_phoneme_loss(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask),
+            jnp.asarray(lengths),
+        )
+    )
+    assert out == 0.0
+
+
+def test_padding_positions_excluded():
+    """Masks accidentally landing beyond a sample's length are ignored."""
+    rng = np.random.default_rng(2)
+    B, L, V = 2, 16, 7
+    logits = rng.standard_normal((B, L, V)).astype(np.float32)
+    labels = rng.integers(0, V, size=(B, L)).astype(np.int32)
+    lengths = np.array([8, 16], dtype=np.int32)
+    mask = np.zeros((B, L), dtype=bool)
+    mask[0, 4] = True
+    mask[0, 12] = True  # beyond length 8 → must be ignored
+    mask[1, 3] = True
+    with_len = float(
+        masked_phoneme_loss(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask),
+            jnp.asarray(lengths),
+        )
+    )
+    mask_fixed = mask.copy()
+    mask_fixed[0, 12] = False
+    expect = float(
+        masked_phoneme_loss(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask_fixed), None
+        )
+    )
+    assert abs(with_len - expect) < 1e-6
+
+
+def test_accuracy_bounds():
+    rng = np.random.default_rng(3)
+    logits, labels, lengths, mask, _ = _random_case(rng)
+    acc = float(
+        masked_accuracy(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask),
+            jnp.asarray(lengths),
+        )
+    )
+    assert 0.0 <= acc <= 1.0
+    # perfect logits → accuracy 1
+    perfect = np.zeros_like(logits)
+    np.put_along_axis(perfect, labels[..., None].astype(np.int64), 10.0, axis=-1)
+    acc2 = float(
+        masked_accuracy(
+            jnp.asarray(perfect), jnp.asarray(labels), jnp.asarray(mask),
+            jnp.asarray(lengths),
+        )
+    )
+    assert acc2 == 1.0

@@ -1,0 +1,148 @@
+"""End-to-end training tests on the virtual 8-device CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pl_bert_tpu.config import Config
+from pl_bert_tpu.training.train import (
+    Trainer,
+    make_synthetic_corpus,
+    setup_config_and_directories,
+    train,
+)
+
+SMOKE = {
+    "training_params": {
+        "output_dir": "",  # filled per-test
+        "batch_size": 8,
+        "save_interval": 4,
+        "log_interval": 2,
+        "num_steps": 6,
+        "learning_rate": 1e-3,
+        "training_dataset": "synthetic:64",
+        "max_epochs": 10,
+        "mixed_precision": "fp32",
+        "data_axis": -1,
+        "model_axis": 1,
+    },
+    "dataset_params": {"max_seq_length": 64},
+    "model_params": {
+        "hidden_size": 64,
+        "num_attention_heads": 4,
+        "intermediate_size": 128,
+        "max_position_embeddings": 64,
+        "num_hidden_layers": 2,
+        "embedding_size": 32,
+        "dropout": 0.1,
+        "attention_impl": "xla",
+    },
+}
+
+
+def _write_config(tmp_path, **overrides):
+    import copy
+
+    raw = copy.deepcopy(SMOKE)
+    raw["training_params"]["output_dir"] = str(tmp_path / "ckpt")
+    for sec, kv in overrides.items():
+        raw.setdefault(sec, {}).update(kv)
+    cfg_path = tmp_path / "config.yml"
+    Config.from_dict(raw).save(str(cfg_path))
+    return str(cfg_path)
+
+
+def test_loss_decreases_and_checkpoints(tmp_path):
+    cfg_path = _write_config(tmp_path)
+    final = train({"config_path": cfg_path, "run_name": "smoke"})
+    assert final == 6
+    run_dir = tmp_path / "ckpt" / "smoke"
+    assert (run_dir / "step_4").is_dir()
+    assert (run_dir / "config.yml").exists()
+    assert (run_dir / "metrics.jsonl").exists()
+    # loss went down over the few steps
+    import json
+
+    records = [
+        json.loads(l)
+        for l in open(run_dir / "metrics.jsonl")
+        if "loss" in json.loads(l)
+    ]
+    losses = [r["loss"] for r in records if "loss" in r]
+    assert len(losses) >= 6
+    assert losses[-1] < losses[0] * 1.5  # sanity: not exploding
+
+
+def test_resume_from_checkpoint(tmp_path):
+    cfg_path = _write_config(tmp_path)
+    train({"config_path": cfg_path, "run_name": "resume"})
+    # second invocation resumes at step 6 and stops immediately
+    config, log_dir, resuming = setup_config_and_directories(
+        {"run_name": "resume"}, cfg_path
+    )
+    assert resuming
+    trainer = Trainer(config, log_dir, resuming)
+    assert trainer.current_step == 6
+    # params actually restored (non-zero step means opt state momentum too)
+    mu_leaves = [np.asarray(x) for x in __import__("jax").tree.leaves(
+        trainer.state.opt_state
+    ) if hasattr(x, "shape") and x.size > 1]
+    assert any(np.abs(l).sum() > 0 for l in mu_leaves)
+
+
+def test_fresh_start_cleans_stale_steps(tmp_path):
+    cfg_path = _write_config(tmp_path)
+    run_dir = tmp_path / "ckpt" / "stale"
+    os.makedirs(run_dir / "step_999")
+    # no config copy in dir → fresh start must remove stale step dirs
+    config, log_dir, resuming = setup_config_and_directories(
+        {"run_name": "stale"}, cfg_path
+    )
+    assert not resuming
+    assert not (run_dir / "step_999").exists()
+    assert (run_dir / "config.yml").exists()
+
+
+def test_data_parallel_equals_single_device(tmp_path):
+    """SPMD gradient math: an 8-way data-parallel step produces the same
+    loss trajectory as the same batch on fewer devices (mesh-size
+    invariance of the update)."""
+    import jax
+
+    corpus = make_synthetic_corpus(64, seed=1)
+    cfg_path = _write_config(tmp_path)
+    config = Config.load(cfg_path)
+
+    cfg8, _ = config, None
+    t8 = Trainer(cfg8, str(tmp_path / "r8"), False, dataset=corpus)
+    losses8 = []
+    for i, batch in enumerate(t8.train_data.batches(epoch=1)):
+        t8.state, m = t8.train_step(t8.state, t8._put(batch), t8.base_rng)
+        losses8.append(float(m["loss"]))
+        if i == 2:
+            break
+
+    # single-device mesh over device 0
+    config2 = Config.from_dict(
+        {**config.to_dict(), "training_params": {
+            **config.to_dict()["training_params"], "data_axis": 1}}
+    )
+    import pl_bert_tpu.training.train as train_mod
+
+    orig = train_mod.make_mesh
+    train_mod.make_mesh = lambda data, model, devices=None: orig(
+        1, 1, devices=[jax.devices()[0]]
+    )
+    try:
+        t1 = train_mod.Trainer(config2, str(tmp_path / "r1"), False, dataset=corpus)
+    finally:
+        train_mod.make_mesh = orig
+    losses1 = []
+    for i, batch in enumerate(t1.train_data.batches(epoch=1)):
+        t1.state, m = t1.train_step(t1.state, t1._put(batch), t1.base_rng)
+        losses1.append(float(m["loss"]))
+        if i == 2:
+            break
+
+    np.testing.assert_allclose(losses8, losses1, rtol=2e-4)
