@@ -51,9 +51,10 @@ def main() -> None:
     tp.batch_size = BATCH
 
     mesh = make_mesh(-1, 1)
-    # remat the shared layer: without it the 12 unrolled layers pin
-    # [B, heads, 512, 512] softmax residuals and blow past v5e HBM
-    model = build_model(config.model_params, mixed_precision="bf16", remat=True)
+    # attention_impl=auto → Pallas flash kernel on TPU: scores/probs stay
+    # in VMEM, so the [B, heads, 512, 512] residuals that OOM'd the plain
+    # XLA path never exist and remat isn't needed
+    model = build_model(config.model_params, mixed_precision="bf16", remat=False)
     tx = make_optimizer(tp)
 
     params = init_params(model, SEQ, seed=0)

@@ -1,0 +1,160 @@
+"""Pallas fused (flash-style) attention for TPU.
+
+Replaces the reference's HF attention path — which materializes
+[B, H, L, L] score/prob tensors in HBM (the dominant memory traffic for
+PL-BERT's 512-token batches) — with a fused kernel: scores and probs
+live only in VMEM, softmax accumulates in fp32, and a custom VJP
+recomputes probs in the backward kernel instead of saving them.
+
+Shape strategy for seq 512 / head_dim 64: one (batch, head) pair per
+grid program. K/V for a head are 512×64 bf16 = 64 KB each and a fp32
+score tile is 1 MB — everything fits VMEM comfortably, so no K/V
+streaming loop is needed; the MXU sees dense [512,64]×[64,512] and
+[512,512]×[512,64] matmuls.
+
+Padding is handled with an additive bias row [B, L] (0 or -inf-ish),
+the same contract as the XLA path (models/albert.py
+attention_bias_from_mask).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)  # [L, D]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [L, L]
+    s = s + bias_ref[0, 0][None, :]
+    s_max = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - s_max)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float
+):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + bias_ref[0, 0][None, :]
+    s_max = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - s_max)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [L, L]
+
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # pᵀ do → [L, D]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # do vᵀ → [L, L]
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _specs(L: int, D: int, heads: int):
+    qkv = pl.BlockSpec((1, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((1, 1, L), lambda i: (i // heads, 0, 0), memory_space=pltpu.VMEM)
+    return qkv, bias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash(q, k, v, bias_row, out_dtype):
+    return _flash_fwd(q, k, v, bias_row, out_dtype)[0]
+
+
+def _flash_call(kernel, outs, q, k, v, bias_row, *extra):
+    BH, L, D = q.shape
+    heads = BH // bias_row.shape[0]
+    qkv_spec, bias_spec = _specs(L, D, heads)
+    n_extra = len(extra)
+    return pl.pallas_call(
+        kernel,
+        grid=(BH,),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec] + [qkv_spec] * n_extra,
+        out_specs=[qkv_spec] * len(outs) if len(outs) > 1 else qkv_spec,
+        out_shape=outs if len(outs) > 1 else outs[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(4 + 6 * n_extra) * L * L * D,
+            bytes_accessed=(3 + n_extra) * L * D * 2 + L * 4,
+            transcendentals=L * L,
+        ),
+    )(q, k, v, bias_row, *extra)
+
+
+def _flash_fwd(q, k, v, bias_row, out_dtype):
+    BH, L, D = q.shape
+    scale = 1.0 / (D ** 0.5)
+    out = _flash_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        [jax.ShapeDtypeStruct((BH, L, D), out_dtype)],
+        q, k, v, bias_row,
+    )
+    return out, (q, k, v, bias_row)
+
+
+def _flash_bwd(out_dtype, residuals, g):
+    q, k, v, bias_row = residuals
+    BH, L, D = q.shape
+    scale = 1.0 / (D ** 0.5)
+    dq, dk, dv = _flash_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        [
+            jax.ShapeDtypeStruct((BH, L, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, L, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, L, D), v.dtype),
+        ],
+        q, k, v, bias_row, g,
+    )
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, bias=None, out_dtype=jnp.bfloat16):
+    """softmax(qkᵀ/√d + bias)·v for [B, L, H, D] inputs.
+
+    ``bias`` is the additive [B, 1, 1, L] mask bias (or None). Returns
+    [B, L, H, D] in ``out_dtype``.
+    """
+    B, L, H, D = q.shape
+    if bias is None:
+        bias_row = jnp.zeros((B, 1, L), jnp.float32)
+    else:
+        bias_row = jnp.maximum(bias.reshape(B, 1, L).astype(jnp.float32), _NEG)
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, L, D)
+
+    out = _flash(fold(q), fold(k), fold(v), bias_row, out_dtype)
+    return out.reshape(B, H, L, D).transpose(0, 2, 1, 3)
