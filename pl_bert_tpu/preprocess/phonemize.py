@@ -1,0 +1,160 @@
+"""Phonemization: G2P backends + punctuation-preserving segment logic.
+
+The reference phonemizes via the ``phonemizer`` package's espeak-ng
+wrapper (reference: preprocess.py:427-457) and re-interleaves
+punctuation around phonemized word segments (reference:
+preprocess.py:32-107). Neither ``phonemizer`` nor a Python espeak
+binding exists in this environment, so the espeak-ng C library is bound
+directly with ctypes (``EspeakBackend``); an ``IdentityG2P`` backend
+serves as the deterministic no-dependency fallback for tests and dry
+runs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+from typing import Protocol
+
+from pl_bert_tpu.text.symbols import PUNCTUATION
+
+
+class G2PBackend(Protocol):
+    def phonemize_segment(self, text: str) -> str:
+        """Whitespace-separated words → whitespace-separated phoneme words."""
+        ...
+
+
+class IdentityG2P:
+    """Fallback backend: each word maps to itself (lowercased). Keeps the
+    pipeline runnable end-to-end without espeak-ng."""
+
+    def phonemize_segment(self, text: str) -> str:
+        return text.lower()
+
+
+class EspeakBackend:
+    """Direct ctypes binding to libespeak-ng.
+
+    Equivalent of ``phonemizer.backend.EspeakBackend(language=...,
+    preserve_punctuation=True, with_stress=True)`` as configured at
+    reference preprocess.py:435 — punctuation preservation is handled by
+    the segment interleaving in :func:`phonemize_text`, stress marks by
+    the phoneme mode bits.
+    """
+
+    _ESPEAK_CHARS_UTF8 = 1
+    _AUDIO_OUTPUT_SYNCH_PLAYBACK = 2
+
+    def __init__(self, language: str = "ar", with_stress: bool = True) -> None:
+        path = (
+            ctypes.util.find_library("espeak-ng")
+            or ctypes.util.find_library("espeak")
+        )
+        if path is None:
+            raise RuntimeError(
+                "libespeak-ng not found — install espeak-ng or use the "
+                "'identity' g2p backend"
+            )
+        self._lib = ctypes.cdll.LoadLibrary(path)
+        self._lib.espeak_Initialize.restype = ctypes.c_int
+        self._lib.espeak_SetVoiceByName.restype = ctypes.c_int
+        self._lib.espeak_TextToPhonemes.restype = ctypes.c_char_p
+        self._lib.espeak_TextToPhonemes.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        rate = self._lib.espeak_Initialize(
+            self._AUDIO_OUTPUT_SYNCH_PLAYBACK, 0, None, 0
+        )
+        if rate <= 0:
+            raise RuntimeError("espeak_Initialize failed")
+        if self._lib.espeak_SetVoiceByName(language.encode()) != 0:
+            raise RuntimeError(f"espeak voice '{language}' unavailable")
+        # phonememode bits: 0x02 = IPA names; 0x01 = include ties/stress
+        self._mode = 0x02 | (0x01 if with_stress else 0x00)
+
+    def phonemize_segment(self, text: str) -> str:
+        raw = text.encode("utf-8")
+        buf = ctypes.create_string_buffer(raw)
+        ptr = ctypes.c_void_p(ctypes.addressof(buf))
+        pieces = []
+        # espeak processes one "clause" per call and advances the pointer
+        while ptr.value:
+            out = self._lib.espeak_TextToPhonemes(
+                ctypes.byref(ptr), self._ESPEAK_CHARS_UTF8, self._mode
+            )
+            if out:
+                pieces.append(out.decode("utf-8"))
+        return " ".join(" ".join(pieces).split())
+
+
+_BACKENDS = {"espeak": EspeakBackend, "identity": IdentityG2P}
+
+
+def get_g2p_backend(name: str, language: str = "ar", with_stress: bool = True):
+    if name == "identity":
+        return IdentityG2P()
+    if name == "espeak":
+        return EspeakBackend(language=language, with_stress=with_stress)
+    raise ValueError(f"unknown g2p backend: {name} (have {sorted(_BACKENDS)})")
+
+
+def separate_text_into_segments(
+    tokens: list[str],
+) -> tuple[list[str], list[str], list[int]]:
+    """Group consecutive non-punctuation tokens into segments.
+
+    Returns (segments, punctuations, segment_end_indices) where
+    ``segment_end_indices[k]`` is the token index at which segment k
+    ended (i.e. where a punctuation token or end-of-list appeared) —
+    the layout :func:`phonemize_text` uses to re-interleave punctuation
+    (reference: preprocess.py:32-64).
+    """
+    segments: list[str] = []
+    punctuations: list[str] = []
+    segment_indices: list[int] = []
+    current: list[str] = []
+    for i, token in enumerate(tokens):
+        if token in PUNCTUATION:
+            if current:
+                segments.append(" ".join(current))
+                segment_indices.append(i)
+                current = []
+            punctuations.append(token)
+        else:
+            current.append(token)
+    if current:
+        segments.append(" ".join(current))
+        segment_indices.append(len(tokens))
+    return segments, punctuations, segment_indices
+
+
+def phonemize_text(text: str, backend: G2PBackend) -> list[str]:
+    """Text → per-token phoneme strings with punctuation preserved in
+    place (reference: preprocess.py:66-107). Output list has one entry
+    per original word/punctuation token."""
+    from pl_bert_tpu.text.normalize import separate_words_and_punctuation
+
+    tokens = separate_words_and_punctuation(text)
+    segments, punctuations, segment_indices = separate_text_into_segments(tokens)
+
+    phonemized_words: list[str] = []
+    for segment in segments:
+        phonemized_words.extend(backend.phonemize_segment(segment).split())
+
+    phonemes: list[str] = []
+    seg_idx = 0
+    punct_idx = 0
+    boundary = set(segment_indices)
+    for i in range(len(tokens)):
+        if i in boundary:
+            if punct_idx < len(punctuations):
+                phonemes.append(punctuations[punct_idx])
+                punct_idx += 1
+        else:
+            if seg_idx < len(phonemized_words):
+                phonemes.append(phonemized_words[seg_idx])
+                seg_idx += 1
+    return phonemes

@@ -1,0 +1,186 @@
+"""Corpus preprocessing drivers: clean → phonemize → diacritize.
+
+Same three-stage pipeline as the reference (reference:
+preprocess.py:387-534 and __main__ at :537-546), on top of the sharded
+map/retry engine. Source corpora load from HF hub, a local
+``save_to_disk`` dataset, a jsonl directory produced by a previous
+stage, or a plain ``.txt`` file (one article per line).
+
+CLI: ``python -m pl_bert_tpu.preprocess.pipeline --config_path
+configs/config.yml [--stage clean|phonemize|diacritize|all]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from pl_bert_tpu.config import Config
+from pl_bert_tpu.preprocess.diacritize import (
+    CattTashkeel,
+    IdentityDiacritizer,
+    diacritize_text,
+)
+from pl_bert_tpu.preprocess.phonemize import get_g2p_backend, phonemize_text
+from pl_bert_tpu.preprocess.shard_engine import (
+    load_processed_dataset,
+    process_dataset,
+)
+from pl_bert_tpu.text.normalize import (
+    clean_text,
+    convert_numbers_to_arabic_words,
+    filter_non_arabic_words,
+    remove_diacritics,
+)
+
+
+def standardize_text(text: str) -> str:
+    """Arabic clean stage: numbers → words, Arabic-only filter, unicode
+    cleanup (reference: preprocess.py:18-30)."""
+    text = convert_numbers_to_arabic_words(text)
+    text = filter_non_arabic_words(text)
+    return clean_text(text)
+
+
+def load_source_dataset(cfg, local_path: str | None = None):
+    if local_path:
+        if os.path.isdir(local_path):
+            jsonl = os.path.join(local_path, "records.jsonl")
+            if os.path.exists(jsonl):
+                return load_processed_dataset(local_path)
+            from datasets import load_from_disk
+
+            return load_from_disk(local_path)
+        if local_path.endswith(".txt"):
+            with open(local_path, encoding="utf-8") as f:
+                return [
+                    {"id": str(i), "text": line.rstrip("\n")}
+                    for i, line in enumerate(f)
+                ]
+        raise ValueError(f"unsupported local dataset: {local_path}")
+    from datasets import load_dataset
+
+    return load_dataset(
+        cfg.hf_dataset_name, cfg.hf_dataset_split, trust_remote_code=True
+    )["train"]
+
+
+def main_clean(config: Config, local_dataset_path: str | None = None) -> str:
+    pp = config.preprocess_params
+    dataset = load_source_dataset(pp, local_dataset_path)
+    print(f"Cleaning {len(dataset)} samples")
+    return process_dataset(
+        dataset=dataset,
+        root_directory=pp.preprocess_dir,
+        process_fn=standardize_text,
+        output_dir=pp.cleaned_output_dir,
+        max_workers=pp.max_workers,
+        timeout=pp.timeout,
+        max_try_count=pp.max_try_count,
+        num_shards=pp.num_shards,
+    )
+
+
+def _phonemize_record(record: dict, backend) -> dict:
+    return {"phonemes": phonemize_text(record["text"], backend)}
+
+
+def main_phonemize(
+    config: Config, dataset_path: str, output_dir: str | None = None
+) -> str:
+    pp = config.preprocess_params
+    dataset = load_processed_dataset(dataset_path)
+    backend = get_g2p_backend(
+        pp.g2p_backend, language=pp.phonemizer_language, with_stress=pp.with_stress
+    )
+    if output_dir is None:
+        output_dir = f"{os.path.basename(dataset_path)}.phonemized"
+    print(f"Phonemizing {len(dataset)} samples via {pp.g2p_backend}")
+    return process_dataset(
+        dataset=dataset,
+        root_directory=os.path.dirname(dataset_path) or ".",
+        process_fn=_phonemize_record,
+        process_args=backend,
+        output_dir=output_dir,
+        max_workers=min(pp.max_workers, 4),
+        timeout=3600,
+        max_try_count=pp.max_try_count,
+        num_shards=min(pp.num_shards, 100),
+    )
+
+
+def main_diacritize(
+    config: Config,
+    dataset_path: str,
+    output_dir: str | None = None,
+    sample_size: int = 200_000,
+    diacritizer=None,
+    seed: int = 0,
+) -> str:
+    """Sample, sentence-aware-crop, strip and restore tashkeel
+    (reference: preprocess.py:459-534)."""
+    from pl_bert_tpu.data.dataset import TruncatedTextDataset
+    from pl_bert_tpu.preprocess.shard_engine import combine_and_save
+
+    dataset = load_processed_dataset(dataset_path)
+    truncated = TruncatedTextDataset(dataset, max_seq_length=512, seed=seed)
+    n = len(truncated)
+    if n > sample_size:
+        indices = np.random.Generator(np.random.Philox(seed)).choice(
+            n, size=sample_size, replace=False
+        )
+    else:
+        indices = np.arange(n)
+
+    if diacritizer is None:
+        try:
+            diacritizer = CattTashkeel()
+        except RuntimeError as e:
+            print(f"[diacritize] {e}; falling back to identity diacritizer")
+            diacritizer = IdentityDiacritizer()
+
+    records = []
+    for idx in indices:
+        record = truncated[int(idx)]
+        original = record["text"]
+        record["original_text"] = original
+        record["text"] = diacritize_text(remove_diacritics(original), diacritizer)
+        records.append(record)
+
+    if output_dir is None:
+        output_dir = f"{os.path.basename(dataset_path)}.diacritized"
+    output_path = os.path.join(os.path.dirname(dataset_path) or ".", output_dir)
+    combine_and_save([records], output_path)
+    print(f"Diacritized dataset saved to {output_path} ({len(records)} samples)")
+    return output_path
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="PL-BERT corpus preprocessing")
+    parser.add_argument("--config_path", type=str, default="configs/config.yml")
+    parser.add_argument("--local_dataset_path", type=str, default=None)
+    parser.add_argument(
+        "--stage",
+        choices=["clean", "phonemize", "diacritize", "all"],
+        default="all",
+    )
+    parser.add_argument("--dataset_path", type=str, default=None,
+                        help="input for phonemize/diacritize stages")
+    args = parser.parse_args(argv)
+    config = Config.load(args.config_path)
+
+    if args.stage in ("clean", "all"):
+        cleaned = main_clean(config, args.local_dataset_path)
+    else:
+        cleaned = args.dataset_path
+    if args.stage in ("phonemize", "all"):
+        main_phonemize(config, cleaned)
+    if args.stage in ("diacritize", "all"):
+        diacritized = main_diacritize(config, cleaned)
+        main_phonemize(config, diacritized)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""Sharded map-with-retry engine for corpus preprocessing.
+
+Same fault-tolerance contract as the reference's pebble-based engine
+(reference: preprocess.py:168-373): the dataset splits into
+``num_shards``; each shard is processed in its own worker process and
+saved to ``shard_i/``; shard-directory existence is the completion
+marker (idempotent resume); workers exceeding ``timeout`` seconds are
+killed; up to ``max_try_count`` retry rounds with linearly growing
+backoff; finally all shards concatenate into the output dataset and the
+shard dirs are cleaned up.
+
+Implementation differences (stdlib-only, kill-capable): a sliding
+window of ``multiprocessing.Process`` workers instead of pebble's
+ProcessPool — join(timeout) + terminate() gives the same
+per-shard-timeout semantics without the dependency. Shards write to a
+temp dir and rename, so a killed worker never leaves a half-written
+completion marker (the reference can, if killed mid-save).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import shutil
+import time
+from typing import Any, Callable, Iterable
+
+
+def _shard_dir(root: str, i: int) -> str:
+    return os.path.join(root, f"shard_{i}")
+
+
+def get_existing_shards(root_directory: str) -> set[int]:
+    existing = set()
+    if os.path.isdir(root_directory):
+        for name in os.listdir(root_directory):
+            if name.startswith("shard_"):
+                try:
+                    existing.add(int(name.split("_")[1]))
+                except ValueError:
+                    continue
+    return existing
+
+
+def _worker(
+    i: int,
+    root: str,
+    dataset,
+    num_shards: int,
+    process_fn: Callable,
+    process_args: Any,
+) -> None:
+    """Process one shard in a child process; atomic rename on success."""
+    final = _shard_dir(root, i)
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    n = len(dataset)
+    lo = (n * i) // num_shards
+    hi = (n * (i + 1)) // num_shards
+    out = []
+    for j in range(lo, hi):
+        record = dict(dataset[j])
+        if process_args is not None:
+            record.update(process_fn(record, process_args))
+        else:
+            record["text"] = process_fn(record["text"])
+        out.append(record)
+
+    os.makedirs(tmp, exist_ok=True)
+    _save_records(out, tmp)
+    os.rename(tmp, final)
+
+
+def _save_records(records: list[dict], directory: str) -> None:
+    import json
+
+    with open(os.path.join(directory, "records.jsonl"), "w", encoding="utf-8") as f:
+        for r in records:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+
+
+def _load_records(directory: str) -> list[dict]:
+    import json
+
+    path = os.path.join(directory, "records.jsonl")
+    with open(path, encoding="utf-8") as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def process_missing_shards(
+    missing: list[int],
+    root: str,
+    dataset,
+    num_shards: int,
+    max_workers: int,
+    timeout: float,
+    process_fn: Callable,
+    process_args: Any = None,
+) -> list[int]:
+    """Run missing shards in a sliding window of worker processes; kill
+    any worker exceeding ``timeout``. Returns shards still missing."""
+    ctx = mp.get_context("fork")  # dataset/process_fn shared by fork, no pickling
+    pending = list(missing)
+    running: dict[int, tuple[mp.Process, float]] = {}
+    failed: list[int] = []
+
+    while pending or running:
+        while pending and len(running) < max_workers:
+            i = pending.pop()
+            p = ctx.Process(
+                target=_worker,
+                args=(i, root, dataset, num_shards, process_fn, process_args),
+                daemon=True,
+            )
+            p.start()
+            running[i] = (p, time.monotonic())
+        finished = []
+        for i, (p, started) in running.items():
+            p.join(timeout=0.02)
+            if not p.is_alive():
+                finished.append(i)
+                if p.exitcode != 0:
+                    print(f"Error processing shard {i}: exit {p.exitcode}")
+                    failed.append(i)
+            elif time.monotonic() - started > timeout:
+                print(f"Shard {i} timed out after {timeout}s; killing worker")
+                p.terminate()
+                p.join()
+                finished.append(i)
+                failed.append(i)
+        for i in finished:
+            del running[i]
+
+    done = get_existing_shards(root)
+    return [i for i in missing if i not in done]
+
+
+def load_all_shards(root: str) -> list[list[dict]]:
+    shards = []
+    for name in sorted(os.listdir(root)):
+        if name.startswith("shard_") and os.path.isdir(os.path.join(root, name)):
+            try:
+                shards.append(_load_records(os.path.join(root, name)))
+            except OSError as e:
+                print(f"Error loading {name}: {e}")
+    return shards
+
+
+def cleanup_shards(root: str) -> int:
+    count = 0
+    for name in os.listdir(root):
+        if name.startswith("shard_") and os.path.isdir(os.path.join(root, name)):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            count += 1
+    return count
+
+
+def combine_and_save(shards: list[list[dict]], output_path: str) -> int:
+    records = [r for shard in shards for r in shard]
+    os.makedirs(output_path, exist_ok=True)
+    _save_records(records, output_path)
+    return len(records)
+
+
+def load_processed_dataset(path: str) -> list[dict]:
+    """Load a dataset previously written by :func:`process_dataset`."""
+    return _load_records(path)
+
+
+def process_dataset(
+    dataset: Iterable[dict],
+    root_directory: str,
+    process_fn: Callable,
+    process_args: Any = None,
+    output_dir: str | None = None,
+    max_workers: int = 4,
+    timeout: float = 3600,
+    max_try_count: int = 3,
+    num_shards: int = 100,
+) -> str:
+    """Shard → process (parallel, resumable, retried) → combine → save."""
+    os.makedirs(root_directory, exist_ok=True)
+    all_shards = list(range(num_shards))
+    missing: list[int] = []
+
+    for attempt in range(1, max_try_count + 1):
+        existing = get_existing_shards(root_directory)
+        missing = [i for i in all_shards if i not in existing]
+        if not missing:
+            break
+        print(f"Attempt {attempt}/{max_try_count}: {len(missing)} shards to process")
+        missing = process_missing_shards(
+            missing, root_directory, dataset, num_shards,
+            max_workers, timeout, process_fn, process_args,
+        )
+        if not missing:
+            break
+        if attempt < max_try_count:
+            wait = 10 * attempt
+            print(f"{len(missing)} shards failed; retrying in {wait}s")
+            time.sleep(wait)
+
+    if missing:
+        print(f"Warning: {len(missing)} shards failed after {max_try_count} attempts: {missing}")
+
+    shards = load_all_shards(root_directory)
+    output_path = (
+        os.path.join(root_directory, output_dir) if output_dir else root_directory
+    )
+    total = combine_and_save(shards, output_path)
+    print(f"Dataset saved to {output_path} ({total} samples)")
+    cleanup_shards(root_directory)
+    return output_path

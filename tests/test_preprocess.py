@@ -1,0 +1,102 @@
+"""Preprocess pipeline tests: shard engine, phonemization interleaving,
+diacritization reassembly, word tokenizer."""
+
+import os
+import time
+
+import pytest
+
+from pl_bert_tpu.preprocess.diacritize import IdentityDiacritizer, diacritize_text
+from pl_bert_tpu.preprocess.phonemize import (
+    IdentityG2P,
+    phonemize_text,
+    separate_text_into_segments,
+)
+from pl_bert_tpu.preprocess.pipeline import standardize_text
+from pl_bert_tpu.preprocess.shard_engine import (
+    get_existing_shards,
+    load_processed_dataset,
+    process_dataset,
+)
+from pl_bert_tpu.text.word_tokenizer import WordTokenizer, create_word_tokenizer
+
+
+def test_standardize_text():
+    out = standardize_text("ولد عام 1986 في Cairo مدينة")
+    assert "1986" not in out
+    assert "Cairo" not in out
+    assert "مدينة" in out
+
+
+def test_segment_separation():
+    tokens = ["كيف", "حالك", "؟", "بخير", "."]
+    segments, puncts, indices = separate_text_into_segments(tokens)
+    assert segments == ["كيف حالك", "بخير"]
+    assert puncts == ["؟", "."]
+    assert indices == [2, 4]
+
+
+def test_phonemize_preserves_punctuation_positions():
+    phonemes = phonemize_text("Kayf halak? Bikhayr.", IdentityG2P())
+    assert phonemes == ["kayf", "halak", "?", "bikhayr", "."]
+
+
+def test_phonemize_punct_only_and_empty():
+    # punctuation attaches at segment boundaries only, so punct-only input
+    # yields nothing — reference parity (preprocess.py:90-106)
+    assert phonemize_text("?!", IdentityG2P()) == []
+    assert phonemize_text("", IdentityG2P()) == []
+    # trailing second punctuation after a word is also dropped (reference
+    # emits one punct per segment boundary)
+    assert phonemize_text("hi?!", IdentityG2P()) == ["hi", "?"]
+
+
+def test_diacritize_text_reassembly():
+    out = diacritize_text("مرحبا، كيف حالك؟", IdentityDiacritizer())
+    assert out == "مرحبا، كيف حالك؟".replace("، ", "،") or "مرحبا" in out
+    # punctuation glued without separator (reference behavior)
+    assert "،" in out and "؟" in out
+
+
+def test_shard_engine_processes_and_resumes(tmp_path):
+    data = [{"id": str(i), "text": f"sample {i}"} for i in range(20)]
+    root = str(tmp_path / "shards")
+    out = process_dataset(
+        data, root, lambda t: t.upper(), output_dir="out",
+        max_workers=2, timeout=30, max_try_count=1, num_shards=5,
+    )
+    records = load_processed_dataset(out)
+    assert len(records) == 20
+    assert all(r["text"].startswith("SAMPLE") for r in records)
+    # shard dirs cleaned up
+    assert get_existing_shards(root) == set()
+
+
+def test_shard_engine_kills_hung_worker(tmp_path):
+    def slow(t):
+        if "3" in t:
+            time.sleep(60)
+        return t
+
+    root = str(tmp_path / "shards")
+    t0 = time.monotonic()
+    out = process_dataset(
+        [{"id": str(i), "text": f"x{i}"} for i in range(8)],
+        root, slow, output_dir="out",
+        max_workers=4, timeout=2, max_try_count=1, num_shards=8,
+    )
+    assert time.monotonic() - t0 < 40
+    records = load_processed_dataset(out)
+    assert len(records) == 7  # the hung shard is missing, others done
+
+
+def test_word_tokenizer_roundtrip(tmp_path):
+    texts = ["مرحبا بالعالم", "مرحبا يا صديقي", "العالم جميل"]
+    tok = create_word_tokenizer(texts, vocab_size=10, output_dir=str(tmp_path))
+    assert tok.vocab[:5] == ["[UNK]", "[PAD]", "[CLS]", "[SEP]", "[MASK]"]
+    ids = tok.encode("مرحبا بالعالم")
+    assert tok.decode(ids) == "مرحبا بالعالم"
+    assert tok.encode("كلمة_غير_معروفة") == [tok.unk_token_id]
+    tok2 = WordTokenizer.load(str(tmp_path))
+    assert tok2.vocab == tok.vocab
+    assert os.path.exists(tmp_path / "vocab.json")
