@@ -1,0 +1,102 @@
+"""Export contract tests (reference: convert_to_hf.py:16-102)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pl_bert_tpu.config import Config, ModelParams
+from pl_bert_tpu.models.albert import build_model, init_params
+
+SMALL = {
+    "model_params": {
+        "hidden_size": 96,
+        "num_attention_heads": 4,
+        "intermediate_size": 192,
+        "max_position_embeddings": 64,
+        "num_hidden_layers": 3,
+        "embedding_size": 48,
+        "dropout": 0.0,
+        "attention_impl": "xla",
+    },
+    "dataset_params": {"max_seq_length": 64},
+}
+
+
+def test_export_roundtrip_and_artifacts(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import AlbertModel as HFAlbert
+
+    from pl_bert_tpu.export.to_hf import export_checkpoint, load_pl_bert_model
+    from pl_bert_tpu.models.albert import AlbertConfig, AlbertModel as FlaxAlbert
+
+    config = Config.from_dict(SMALL)
+    model = build_model(config.model_params, "fp32")
+    params = init_params(model, 64, seed=3)
+
+    out = str(tmp_path / "hf_export")
+    export_checkpoint(
+        params, config.to_dict(), out, step=1234, epoch=2,
+        checkpoint_path="/ckpt/step_1234",
+    )
+
+    # reference artifact set (convert_to_hf.py:49-62)
+    assert os.path.exists(os.path.join(out, "pl_bert_full_model.pt"))
+    assert os.path.exists(os.path.join(out, "training_metadata.txt"))
+    assert os.path.exists(os.path.join(out, "config.yml"))
+    meta = open(os.path.join(out, "training_metadata.txt")).read()
+    assert "Step: 1234" in meta and "Epoch: 2" in meta
+
+    # the exported encoder must load as a plain HF AlbertModel (the
+    # StyleTTS consumption contract) with the CORRECT vocab size
+    hf = HFAlbert.from_pretrained(out).eval()
+    assert hf.config.vocab_size == 188  # reference bug fixed
+    assert hf.config.embedding_size == 48
+
+    # numeric parity: flax forward == exported HF forward
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 188, size=(2, 64)).astype(np.int32)
+    with torch.no_grad():
+        hf_out = hf(torch.from_numpy(ids).long()).last_hidden_state.numpy()
+    cfg = AlbertConfig.from_params(ModelParams(**SMALL["model_params"]))
+    flax_out, _ = FlaxAlbert(cfg).apply(
+        {"params": params["encoder"]}, jnp.asarray(ids), deterministic=True
+    )
+    np.testing.assert_allclose(np.asarray(flax_out), hf_out, rtol=1e-4, atol=2e-5)
+
+    # loader utility reverses the export
+    encoder_params, loaded_cfg = load_pl_bert_model(out)
+    np.testing.assert_allclose(
+        np.asarray(encoder_params["embeddings"]["word_embeddings"]["embedding"]),
+        np.asarray(params["encoder"]["embeddings"]["word_embeddings"]["embedding"]),
+        atol=1e-6,
+    )
+    assert loaded_cfg["model_params"]["hidden_size"] == 96
+
+
+def test_export_cli_from_orbax_checkpoint(tmp_path):
+    pytest.importorskip("torch")
+    from pl_bert_tpu.export.cli import main as export_cli
+    from pl_bert_tpu.training.checkpoint import save_checkpoint
+
+    raw = dict(SMALL)
+    raw["training_params"] = {"output_dir": str(tmp_path)}
+    config = Config.from_dict(raw)
+    cfg_path = str(tmp_path / "config.yml")
+    config.save(cfg_path)
+
+    model = build_model(config.model_params, "fp32")
+    params = init_params(model, 64, seed=1)
+    import optax
+
+    opt_state = optax.adamw(1e-4).init(params)
+    ckpt = save_checkpoint(str(tmp_path / "run"), 77, params, opt_state, epoch=1)
+
+    out = export_cli([
+        "--checkpoint_path", ckpt,
+        "--config_path", cfg_path,
+        "--output_dir", str(tmp_path / "hf"),
+    ])
+    assert os.path.exists(os.path.join(out, "pl_bert_full_model.pt"))
+    assert "Step: 77" in open(os.path.join(out, "training_metadata.txt")).read()
