@@ -98,6 +98,9 @@ class DatasetParams:
     word_pred_prob: float = 0.15
     phoneme_mask_prob: float = 0.8
     replace_prob: float = 0.1
+    # TPU build extension: fuse whole-word masking into the jitted train
+    # step (ops/ondevice_masking.py) instead of the host collate
+    ondevice_masking: bool = False
 
     def __post_init__(self) -> None:
         if not 0.0 <= self.phoneme_mask_prob + self.replace_prob <= 1.0:

@@ -136,19 +136,39 @@ class Trainer:
 
         if dataset is None:
             dataset = load_training_dataset(tp.training_dataset, tp.split)
-        self.train_data, self.val_data = build_dataloader(
-            dataset,
-            batch_size=tp.batch_size,
-            dataset_config={
-                "word_pred_prob": dp.word_pred_prob,
-                "phoneme_mask_prob": dp.phoneme_mask_prob,
-                "replace_prob": dp.replace_prob,
-                "word_separator": dp.word_separator,
-                "max_seq_length": dp.max_seq_length,
-            },
-            use_token_ids=self.use_token_ids,
-            seed=tp.seed,
-        )
+        self.ondevice_masking = dp.ondevice_masking
+        self.masking_params = None
+        if self.ondevice_masking:
+            from pl_bert_tpu.data.masking import MaskingParams
+            from pl_bert_tpu.data.packed import PackedPhonemeDataset
+            from pl_bert_tpu.data.pipeline import split_train_val
+
+            self.masking_params = MaskingParams(
+                word_pred_prob=dp.word_pred_prob,
+                phoneme_mask_prob=dp.phoneme_mask_prob,
+                replace_prob=dp.replace_prob,
+                max_seq_length=dp.max_seq_length,
+                word_separator=dp.word_separator,
+            )
+            self.packed = PackedPhonemeDataset(dataset, dp.max_seq_length)
+            self.train_idx, self.val_idx = split_train_val(
+                len(self.packed), seed=tp.seed
+            )
+            self.train_data = self.val_data = None
+        else:
+            self.train_data, self.val_data = build_dataloader(
+                dataset,
+                batch_size=tp.batch_size,
+                dataset_config={
+                    "word_pred_prob": dp.word_pred_prob,
+                    "phoneme_mask_prob": dp.phoneme_mask_prob,
+                    "replace_prob": dp.replace_prob,
+                    "word_separator": dp.word_separator,
+                    "max_seq_length": dp.max_seq_length,
+                },
+                use_token_ids=self.use_token_ids,
+                seed=tp.seed,
+            )
 
         # init params on host, then shard onto the mesh
         params = init_params(self.model, dp.max_seq_length, seed=tp.seed)
@@ -185,9 +205,12 @@ class Trainer:
             print(f"Checkpoint {path} loaded.")
 
         self.train_step = make_train_step(
-            self.model, self.tx, self.use_token_ids, donate=tp.donate_state
+            self.model, self.tx, self.use_token_ids, donate=tp.donate_state,
+            masking_params=self.masking_params,
         )
-        self.eval_step = make_eval_step(self.model, self.use_token_ids)
+        self.eval_step = make_eval_step(
+            self.model, self.use_token_ids, masking_params=self.masking_params
+        )
         self.batch_sharding = batch_sharding(self.mesh)
         self.base_rng = jax.random.PRNGKey(tp.seed)
         self.metrics = MetricsLogger(
@@ -195,31 +218,48 @@ class Trainer:
         )
 
     def _put(self, batch) -> dict:
-        return jax.device_put(batch_to_arrays(batch), self.batch_sharding)
+        arrays = batch if isinstance(batch, dict) else batch_to_arrays(batch)
+        return jax.device_put(arrays, self.batch_sharding)
+
+    def _train_batches(self, epoch: int, start_batch: int = 0):
+        if self.ondevice_masking:
+            return self.packed.batches(
+                self.config.training_params.batch_size, epoch,
+                seed=self.config.training_params.seed,
+                indices=self.train_idx, start_batch=start_batch,
+            )
+        return self.train_data.batches(epoch=epoch, start_batch=start_batch)
+
+    def _val_batches(self):
+        if self.ondevice_masking:
+            return self.packed.batches(
+                self.config.training_params.batch_size, epoch=0,
+                shuffle=False, drop_last=False, indices=self.val_idx,
+            )
+        return self.val_data.batches(epoch=0)
+
+    @staticmethod
+    def _pad_batch(arrays: dict, bs: int) -> dict:
+        """Zero-pad a ragged tail batch to the static batch size; dummy
+        rows have length 0 and no masks, contributing nothing."""
+        n = len(arrays["lengths"])
+        if n == bs:
+            return arrays
+        pad = lambda a: np.concatenate(
+            [a, np.zeros((bs - n, *a.shape[1:]), a.dtype)]
+        )
+        return {k: pad(v) for k, v in arrays.items()}
 
     def validate(self) -> tuple[float, float]:
         losses, accs = [], []
-        bs = self.val_data.batch_size
-        for batch in self.val_data.batches(epoch=0):
-            n = len(batch.lengths)
-            if n != bs:
-                # static shapes: zero-pad the ragged tail batch; dummy rows
-                # have length 0 and no mask positions, so they contribute
-                # nothing to either metric
-                import dataclasses
-
-                pad = lambda a: np.concatenate(
-                    [a, np.zeros((bs - n, *a.shape[1:]), a.dtype)]
-                )
-                batch = dataclasses.replace(
-                    batch,
-                    masked_ids=pad(batch.masked_ids),
-                    label_ids=pad(batch.label_ids),
-                    token_ids=pad(batch.token_ids),
-                    mask_positions=pad(batch.mask_positions),
-                    lengths=pad(batch.lengths),
-                )
-            loss, acc = self.eval_step(self.state.params, self._put(batch))
+        bs = self.config.training_params.batch_size
+        eval_rng = jax.random.PRNGKey(self.config.training_params.seed + 1)
+        for batch in self._val_batches():
+            arrays = batch if isinstance(batch, dict) else batch_to_arrays(batch)
+            arrays = self._pad_batch(arrays, bs)
+            loss, acc = self.eval_step(
+                self.state.params, self._put(arrays), eval_rng
+            )
             losses.append(float(loss))
             accs.append(float(acc))
         if not losses:
@@ -241,7 +281,7 @@ class Trainer:
             if is_main_process():
                 print(f"Starting epoch {epoch}", flush=True)
             batch_idx = start_batch
-            it = self.train_data.batches(epoch=epoch, start_batch=start_batch)
+            it = self._train_batches(epoch=epoch, start_batch=start_batch)
             start_batch = 0
             for batch in prefetch(it, size=2):
                 self.state, metrics = self.train_step(

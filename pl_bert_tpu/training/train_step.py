@@ -69,11 +69,38 @@ def _forward_loss(model, params, batch, rngs, deterministic, use_token_ids):
     return loss, (logits, loss, jnp.float32(0.0))
 
 
-def make_train_step(model, tx, use_token_ids: bool = False, donate: bool = True):
-    """Build the jitted (state, batch, rng) → (state, metrics) step."""
+def make_train_step(
+    model,
+    tx,
+    use_token_ids: bool = False,
+    donate: bool = True,
+    masking_params=None,
+):
+    """Build the jitted (state, batch, rng) → (state, metrics) step.
+
+    With ``masking_params`` set, the batch carries only packed arrays
+    (label_ids, word_ids, lengths) and whole-word masking itself runs
+    on device inside the step (ops/ondevice_masking.py) — the north-star
+    fused collate."""
 
     def step_fn(state: TrainState, batch: dict, base_rng: jax.Array):
         rng = jax.random.fold_in(base_rng, state.step)
+
+        if masking_params is not None:
+            from pl_bert_tpu.ops.ondevice_masking import mask_batch
+
+            mask_rng, rng = jax.random.split(rng)
+            masked_ids, mask_positions = mask_batch(
+                batch["label_ids"], batch["word_ids"], batch["lengths"],
+                mask_rng, masking_params,
+            )
+            batch = {
+                "masked_ids": masked_ids,
+                "label_ids": batch["label_ids"],
+                "token_ids": batch.get("token_ids", batch["label_ids"]),
+                "mask_positions": mask_positions,
+                "lengths": batch["lengths"],
+            }
 
         def loss_fn(params):
             return _forward_loss(
@@ -96,10 +123,26 @@ def make_train_step(model, tx, use_token_ids: bool = False, donate: bool = True)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, use_token_ids: bool = False):
-    """Jitted eval step → (phoneme_loss, masked accuracy)."""
+def make_eval_step(model, use_token_ids: bool = False, masking_params=None):
+    """Jitted eval step → (phoneme_loss, masked accuracy). With
+    ``masking_params``, masking runs on device from the provided rng
+    (pass a FIXED key so validation is deterministic across runs)."""
 
-    def step_fn(params, batch: dict):
+    def step_fn(params, batch: dict, rng: jax.Array):
+        if masking_params is not None:
+            from pl_bert_tpu.ops.ondevice_masking import mask_batch
+
+            masked_ids, mask_positions = mask_batch(
+                batch["label_ids"], batch["word_ids"], batch["lengths"],
+                rng, masking_params,
+            )
+            batch = {
+                "masked_ids": masked_ids,
+                "label_ids": batch["label_ids"],
+                "token_ids": batch.get("token_ids", batch["label_ids"]),
+                "mask_positions": mask_positions,
+                "lengths": batch["lengths"],
+            }
         _, (logits, loss_p, _) = _forward_loss(
             model, params, batch, None, True, use_token_ids
         )
