@@ -18,16 +18,14 @@ from pl_bert_tpu.ops.ondevice_masking import pack_sample
 
 class PackedPhonemeDataset:
     def __init__(self, dataset, max_seq_length: int = 512) -> None:
-        n = len(dataset)
+        from pl_bert_tpu.runtime import pack_batch_native
+
         self.max_seq_length = max_seq_length
-        self.label_ids = np.zeros((n, max_seq_length), np.int32)
-        self.word_ids = np.full((n, max_seq_length), -1, np.int32)
-        self.lengths = np.zeros(n, np.int32)
-        for i in range(n):
-            ids, wids, ln = pack_sample(dataset[i]["phonemes"], max_seq_length)
-            self.label_ids[i] = ids
-            self.word_ids[i] = wids
-            self.lengths[i] = ln
+        samples = [dataset[i]["phonemes"] for i in range(len(dataset))]
+        # one native C pass over the whole corpus (falls back to numpy)
+        self.label_ids, self.word_ids, self.lengths = pack_batch_native(
+            samples, max_seq_length
+        )
 
     def __len__(self) -> int:
         return len(self.lengths)
