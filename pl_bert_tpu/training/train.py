@@ -216,6 +216,9 @@ class Trainer:
         self.metrics = MetricsLogger(
             log_dir, tp.log_interval, tp.wandb_project, config.to_dict()
         )
+        from pl_bert_tpu.utils.profiler import maybe_profile
+
+        self.profiler = maybe_profile()
 
     def _put(self, batch) -> dict:
         arrays = batch if isinstance(batch, dict) else batch_to_arrays(batch)
@@ -289,6 +292,7 @@ class Trainer:
                 )
                 self.current_step += 1
                 batch_idx += 1
+                self.profiler.tick(self.current_step)
                 self.metrics.log_step(
                     self.current_step, epoch,
                     {k: float(v) for k, v in metrics.items()},
