@@ -107,10 +107,17 @@ def load_training_dataset(name: str, split: str):
         n = int(name.split(":", 1)[1]) if ":" in name else 2048
         return make_synthetic_corpus(n)
     if os.path.isdir(name):
+        jsonl = os.path.join(name, "records.jsonl")
+        if os.path.exists(jsonl):  # output of pl_bert_tpu.preprocess
+            from pl_bert_tpu.preprocess.shard_engine import load_processed_dataset
+
+            return load_processed_dataset(name)
         from datasets import load_from_disk
 
         ds = load_from_disk(name)
-        return ds[split] if split and hasattr(ds, "keys") and split in getattr(ds, "column_names", {}) else ds
+        if hasattr(ds, "keys") and split in getattr(ds, "keys", lambda: [])():
+            ds = ds[split]
+        return ds
     from datasets import load_dataset
 
     return load_dataset(name, split=split)
