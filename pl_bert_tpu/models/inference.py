@@ -1,0 +1,97 @@
+"""Inference API: phoneme strings → contextual embeddings.
+
+The downstream consumption contract is ``AlbertModel(...).last_hidden_state``
+fed to StyleTTS (reference: README.md:40-47). ``PhonemeEncoder`` wraps
+that path natively: load from a training checkpoint (orbax ``step_N``)
+or an exported HF directory, batch phoneme strings through the
+CharacterIndexer, and return hidden states — one jitted forward, static
+shapes, bf16 on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pl_bert_tpu.config import Config, ModelParams
+from pl_bert_tpu.models.albert import AlbertConfig, AlbertModel, init_params
+from pl_bert_tpu.text.symbols import encode
+
+
+class PhonemeEncoder:
+    def __init__(
+        self,
+        params: dict,
+        model_params: ModelParams,
+        max_seq_length: int = 512,
+        mixed_precision: str = "bf16",
+    ) -> None:
+        dtype = jnp.bfloat16 if mixed_precision == "bf16" else jnp.float32
+        self.cfg = AlbertConfig.from_params(model_params, dtype=dtype)
+        self.model = AlbertModel(self.cfg)
+        self.params = params
+        self.max_seq_length = max_seq_length
+        self._forward = jax.jit(
+            functools.partial(self.model.apply, deterministic=True)
+        )
+
+    # --- constructors ------------------------------------------------------
+    @classmethod
+    def from_checkpoint(
+        cls, checkpoint_path: str, config: Config | str, **kwargs
+    ) -> "PhonemeEncoder":
+        """Load from a training ``step_N`` checkpoint (full-model params;
+        the encoder sub-tree is used)."""
+        from pl_bert_tpu.models.albert import build_model
+        from pl_bert_tpu.training.checkpoint import load_params_only
+
+        if isinstance(config, str):
+            config = Config.load(config)
+        model = build_model(config.model_params, "fp32")
+        template = init_params(model, config.dataset_params.max_seq_length)
+        params = load_params_only(checkpoint_path, template)
+        return cls(
+            params["encoder"],
+            config.model_params,
+            config.dataset_params.max_seq_length,
+            **kwargs,
+        )
+
+    @classmethod
+    def from_hf_export(cls, model_dir: str, **kwargs) -> "PhonemeEncoder":
+        """Load from a directory written by pl_bert_tpu.export."""
+        from pl_bert_tpu.export.to_hf import load_pl_bert_model
+
+        encoder_params, config = load_pl_bert_model(model_dir)
+        mp = ModelParams(
+            **{
+                k: v
+                for k, v in config["model_params"].items()
+                if k in ModelParams.__dataclass_fields__
+            }
+        )
+        return cls(
+            encoder_params, mp,
+            config["dataset_params"]["max_seq_length"], **kwargs,
+        )
+
+    # --- inference ----------------------------------------------------------
+    def __call__(self, phoneme_strings: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """→ (hidden_states [B, L, H] fp32, lengths [B])."""
+        b = len(phoneme_strings)
+        ids = np.zeros((b, self.max_seq_length), np.int32)
+        lengths = np.zeros(b, np.int32)
+        for i, text in enumerate(phoneme_strings):
+            row = encode(text)[: self.max_seq_length]
+            ids[i, : len(row)] = row
+            lengths[i] = len(row)
+        mask = (
+            np.arange(self.max_seq_length)[None, :] < lengths[:, None]
+        ).astype(np.int32)
+        hidden, _ = self._forward(
+            {"params": self.params}, jnp.asarray(ids), jnp.asarray(mask)
+        )
+        return np.asarray(hidden, dtype=np.float32), lengths

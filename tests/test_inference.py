@@ -1,0 +1,62 @@
+"""PhonemeEncoder inference API tests."""
+
+import numpy as np
+import optax
+import pytest
+
+from pl_bert_tpu.config import Config
+from pl_bert_tpu.models.albert import build_model, init_params
+from pl_bert_tpu.models.inference import PhonemeEncoder
+from pl_bert_tpu.training.checkpoint import save_checkpoint
+
+SMALL = {
+    "model_params": {
+        "hidden_size": 64,
+        "num_attention_heads": 4,
+        "intermediate_size": 128,
+        "max_position_embeddings": 64,
+        "num_hidden_layers": 2,
+        "embedding_size": 32,
+        "dropout": 0.0,
+        "attention_impl": "xla",
+    },
+    "dataset_params": {"max_seq_length": 64},
+}
+
+
+def _make_checkpoint(tmp_path):
+    config = Config.from_dict(SMALL)
+    model = build_model(config.model_params, "fp32")
+    params = init_params(model, 64, seed=5)
+    opt_state = optax.adamw(1e-4).init(params)
+    path = save_checkpoint(str(tmp_path / "run"), 10, params, opt_state)
+    return path, config
+
+
+def test_encoder_from_checkpoint(tmp_path):
+    path, config = _make_checkpoint(tmp_path)
+    enc = PhonemeEncoder.from_checkpoint(path, config, mixed_precision="fp32")
+    hidden, lengths = enc(["ˈmaʕna θaːbit", "qalam"])
+    assert hidden.shape == (2, 64, 64)
+    assert lengths.tolist() == [13, 5]
+    # deterministic
+    hidden2, _ = enc(["ˈmaʕna θaːbit", "qalam"])
+    np.testing.assert_array_equal(hidden, hidden2)
+    # padding rows don't affect shorter sample's valid positions
+    hidden3, _ = enc(["qalam"])
+    np.testing.assert_allclose(hidden3[0, :5], hidden[1, :5], atol=1e-5)
+
+
+def test_encoder_from_hf_export(tmp_path):
+    pytest.importorskip("torch")
+    from pl_bert_tpu.export.to_hf import export_checkpoint
+
+    config = Config.from_dict(SMALL)
+    model = build_model(config.model_params, "fp32")
+    params = init_params(model, 64, seed=6)
+    out = str(tmp_path / "hf")
+    export_checkpoint(params, config.to_dict(), out)
+    enc = PhonemeEncoder.from_hf_export(out, mixed_precision="fp32")
+    hidden, lengths = enc(["bajt ʃams"])
+    assert hidden.shape == (1, 64, 64)
+    assert np.isfinite(hidden).all()
