@@ -67,7 +67,7 @@ def main() -> None:
     state = TrainState(params, opt_state, jax.device_put(np.int32(0)))
 
     train_step = make_train_step(model, tx, use_token_ids=False, donate=True)
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl=tp.prng_impl)
     bsh = batch_sharding(mesh)
 
     # pre-collate a rotating pool of host batches so host masking is off

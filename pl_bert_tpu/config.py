@@ -82,6 +82,10 @@ class TrainingParams:
     wandb_project: str = ""  # "" → stdout metrics only
     remat: bool = False  # jax.checkpoint the encoder scan body
     donate_state: bool = True
+    # PRNG for dropout/masking keys: 'rbg' is ~20% faster end-to-end on
+    # TPU than threefry (hardware-friendly generator), statistically fine
+    # for dropout; set 'threefry2x32' for jax-default streams
+    prng_impl: str = "rbg"
 
     def __post_init__(self) -> None:
         self.learning_rate = float(self.learning_rate)

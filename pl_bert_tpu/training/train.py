@@ -219,7 +219,7 @@ class Trainer:
             self.model, self.use_token_ids, masking_params=self.masking_params
         )
         self.batch_sharding = batch_sharding(self.mesh)
-        self.base_rng = jax.random.PRNGKey(tp.seed)
+        self.base_rng = jax.random.key(tp.seed, impl=tp.prng_impl)
         self.metrics = MetricsLogger(
             log_dir, tp.log_interval, tp.wandb_project, config.to_dict()
         )
@@ -263,7 +263,8 @@ class Trainer:
     def validate(self) -> tuple[float, float]:
         losses, accs = [], []
         bs = self.config.training_params.batch_size
-        eval_rng = jax.random.PRNGKey(self.config.training_params.seed + 1)
+        tp = self.config.training_params
+        eval_rng = jax.random.key(tp.seed + 1, impl=tp.prng_impl)
         for batch in self._val_batches():
             arrays = batch if isinstance(batch, dict) else batch_to_arrays(batch)
             arrays = self._pad_batch(arrays, bs)
