@@ -30,17 +30,20 @@ _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # [L, D]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # keep matmul operands in their storage dtype (bf16) — the MXU
+    # consumes bf16 natively with fp32 accumulation; only softmax math
+    # runs in fp32 on the VPU
+    q = q_ref[0]  # [L, D]
+    k = k_ref[0]
+    v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [L, L]
+    ) * scale  # [L, L] fp32
     s = s + bias_ref[0, 0][None, :]
     s_max = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - s_max)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
+    p = (p / denom).astype(v.dtype)
     o = jnp.dot(p, v, preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
 
@@ -48,10 +51,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
 def _bwd_kernel(
     q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float
 ):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -59,16 +62,17 @@ def _bwd_kernel(
     s = s + bias_ref[0, 0][None, :]
     s_max = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - s_max)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [L, L]
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [L, L] fp32
+    p_lp = p.astype(v.dtype)  # bf16 operand for the MXU
 
     dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p_lp, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # pᵀ do → [L, D]
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # do vᵀ → [L, L]
+    )  # do vᵀ → [L, L] fp32
     delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - delta) * scale
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
     dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
