@@ -145,6 +145,11 @@ class Trainer:
             dataset = load_training_dataset(tp.training_dataset, tp.split)
         self.ondevice_masking = dp.ondevice_masking
         self.masking_params = None
+        if self.ondevice_masking and self.use_token_ids:
+            raise NotImplementedError(
+                "ondevice_masking does not carry grapheme token_ids yet; "
+                "use the host masking path for the multi-task model"
+            )
         if self.ondevice_masking:
             from pl_bert_tpu.data.masking import MaskingParams
             from pl_bert_tpu.data.packed import PackedPhonemeDataset
