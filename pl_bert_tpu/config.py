@@ -105,6 +105,9 @@ class DatasetParams:
     # TPU build extension: fuse whole-word masking into the jitted train
     # step (ops/ondevice_masking.py) instead of the host collate
     ondevice_masking: bool = False
+    # pack multiple short samples per row with block-diagonal attention
+    # (segment-aware flash kernel); requires ondevice_masking
+    sequence_packing: bool = False
 
     def __post_init__(self) -> None:
         if not 0.0 <= self.phoneme_mask_prob + self.replace_prob <= 1.0:

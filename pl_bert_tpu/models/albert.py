@@ -100,14 +100,21 @@ class AlbertEmbeddings(nn.Module):
     cfg: AlbertConfig
 
     @nn.compact
-    def __call__(self, input_ids, token_type_ids=None, deterministic=True):
+    def __call__(
+        self, input_ids, token_type_ids=None, position_ids=None,
+        deterministic=True,
+    ):
         cfg = self.cfg
         emb_init = nn.initializers.normal(cfg.initializer_range)
         word_emb = nn.Embed(
             cfg.vocab_size, cfg.embedding_size, embedding_init=emb_init,
             param_dtype=jnp.float32, name="word_embeddings",
         )(input_ids)
-        positions = jnp.arange(input_ids.shape[-1])[None, :]
+        positions = (
+            position_ids
+            if position_ids is not None
+            else jnp.arange(input_ids.shape[-1])[None, :]
+        )
         pos_emb = nn.Embed(
             cfg.max_position_embeddings, cfg.embedding_size,
             embedding_init=emb_init, param_dtype=jnp.float32,
@@ -132,7 +139,7 @@ class AlbertSelfAttention(nn.Module):
     cfg: AlbertConfig
 
     @nn.compact
-    def __call__(self, hidden, attention_bias, deterministic=True):
+    def __call__(self, hidden, attention_bias, segment_ids=None, deterministic=True):
         cfg = self.cfg
         B, L, H = hidden.shape
         nh, hd = cfg.num_attention_heads, cfg.head_dim
@@ -149,7 +156,9 @@ class AlbertSelfAttention(nn.Module):
         if impl == "pallas":
             from pl_bert_tpu.ops.attention import fused_attention
 
-            ctx = fused_attention(q, k, v, attention_bias, dtype=cfg.dtype)
+            ctx = fused_attention(
+                q, k, v, attention_bias, segment_ids, dtype=cfg.dtype
+            )
             ctx = nn.Dropout(cfg.dropout)(ctx, deterministic=deterministic)
         else:
             scores = jnp.einsum(
@@ -158,6 +167,14 @@ class AlbertSelfAttention(nn.Module):
             scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32))
             if attention_bias is not None:
                 scores = scores + attention_bias
+            if segment_ids is not None:
+                neq = (
+                    segment_ids[:, None, :, None]
+                    != segment_ids[:, None, None, :]
+                )
+                scores = jnp.where(
+                    neq, -0.7 * jnp.finfo(jnp.float32).max, scores
+                )
             probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
             probs = nn.Dropout(cfg.dropout)(probs, deterministic=deterministic)
             ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
@@ -177,10 +194,10 @@ class AlbertLayer(nn.Module):
     cfg: AlbertConfig
 
     @nn.compact
-    def __call__(self, hidden, attention_bias, deterministic=True):
+    def __call__(self, hidden, attention_bias, segment_ids=None, deterministic=True):
         cfg = self.cfg
         attn_out = AlbertSelfAttention(cfg, name="attention")(
-            hidden, attention_bias, deterministic
+            hidden, attention_bias, segment_ids, deterministic
         )
         ffn = _dense(cfg, cfg.intermediate_size, "ffn")(attn_out)
         ffn = _act(cfg.hidden_act)(ffn)
@@ -196,17 +213,19 @@ class AlbertEncoder(nn.Module):
     cfg: AlbertConfig
 
     @nn.compact
-    def __call__(self, embeddings, attention_bias, deterministic=True):
+    def __call__(
+        self, embeddings, attention_bias, segment_ids=None, deterministic=True
+    ):
         cfg = self.cfg
         hidden = _dense(cfg, cfg.hidden_size, "embedding_hidden_mapping_in")(
             embeddings
         )
         layer_cls = AlbertLayer
         if cfg.remat:
-            layer_cls = nn.remat(AlbertLayer, static_argnums=(3,))
+            layer_cls = nn.remat(AlbertLayer, static_argnums=(4,))
         shared = layer_cls(cfg, name="albert_layer")
         for _ in range(cfg.num_hidden_layers):
-            hidden = shared(hidden, attention_bias, deterministic)
+            hidden = shared(hidden, attention_bias, segment_ids, deterministic)
         return hidden
 
 
@@ -233,18 +252,22 @@ class AlbertModel(nn.Module):
         input_ids,
         attention_mask=None,
         token_type_ids=None,
+        segment_ids=None,
+        position_ids=None,
         deterministic: bool = True,
     ):
         cfg = self.cfg
         emb = AlbertEmbeddings(cfg, name="embeddings")(
-            input_ids, token_type_ids, deterministic
+            input_ids, token_type_ids, position_ids, deterministic
         )
         bias = (
             attention_bias_from_mask(attention_mask)
             if attention_mask is not None
             else None
         )
-        hidden = AlbertEncoder(cfg, name="encoder")(emb, bias, deterministic)
+        hidden = AlbertEncoder(cfg, name="encoder")(
+            emb, bias, segment_ids, deterministic
+        )
         pooled = nn.tanh(
             _dense(cfg, cfg.hidden_size, "pooler")(hidden[:, 0])
         )
@@ -258,9 +281,13 @@ class PhonemeOnlyModel(nn.Module):
     num_phonemes: int = 188
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask=None, deterministic=True):
+    def __call__(
+        self, input_ids, attention_mask=None, segment_ids=None,
+        position_ids=None, deterministic=True,
+    ):
         hidden, _ = AlbertModel(self.cfg, name="encoder")(
-            input_ids, attention_mask, deterministic=deterministic
+            input_ids, attention_mask, segment_ids=segment_ids,
+            position_ids=position_ids, deterministic=deterministic,
         )
         logits = _dense(self.cfg, self.num_phonemes, "phoneme_predictor")(hidden)
         return logits.astype(jnp.float32)
@@ -274,9 +301,13 @@ class MultiTaskModel(nn.Module):
     num_tokens: int = 60_000
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask=None, deterministic=True):
+    def __call__(
+        self, input_ids, attention_mask=None, segment_ids=None,
+        position_ids=None, deterministic=True,
+    ):
         hidden, _ = AlbertModel(self.cfg, name="encoder")(
-            input_ids, attention_mask, deterministic=deterministic
+            input_ids, attention_mask, segment_ids=segment_ids,
+            position_ids=position_ids, deterministic=deterministic,
         )
         phoneme = _dense(self.cfg, self.num_phonemes, "phoneme_predictor")(hidden)
         token = _dense(self.cfg, self.num_tokens, "token_predictor")(hidden)

@@ -47,20 +47,23 @@ def pallas_supported(seq_len: int, head_dim: int) -> bool:
     )
 
 
-def xla_attention(q, k, v, bias=None, dtype=jnp.bfloat16):
+def xla_attention(q, k, v, bias=None, segment_ids=None, dtype=jnp.bfloat16):
     """Reference einsum attention (fp32 softmax accumulation)."""
     head_dim = q.shape[-1]
     scores = jnp.einsum("blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32)
     scores = scores / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
     if bias is not None:
         scores = scores + bias
+    if segment_ids is not None:
+        neq = segment_ids[:, None, :, None] != segment_ids[:, None, None, :]
+        scores = jnp.where(neq, -0.7 * jnp.finfo(jnp.float32).max, scores)
     probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
     return jnp.einsum("bhlm,bmhd->blhd", probs, v)
 
 
-def fused_attention(q, k, v, bias=None, dtype=jnp.bfloat16):
+def fused_attention(q, k, v, bias=None, segment_ids=None, dtype=jnp.bfloat16):
     if pallas_supported(q.shape[1], q.shape[-1]):
         from pl_bert_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, bias, out_dtype=dtype)
-    return xla_attention(q, k, v, bias, dtype=dtype)
+        return flash_attention(q, k, v, bias, segment_ids, out_dtype=dtype)
+    return xla_attention(q, k, v, bias, segment_ids, dtype=dtype)

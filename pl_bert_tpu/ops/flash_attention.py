@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, o_ref, *, scale: float):
     # keep matmul operands in their storage dtype (bf16) — the MXU
     # consumes bf16 natively with fp32 accumulation; only softmax math
     # runs in fp32 on the VPU
@@ -40,6 +40,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [L, L] fp32
     s = s + bias_ref[0, 0][None, :]
+    seg = seg_ref[0, 0]  # [L] int32; block-diagonal mask across segments
+    s = jnp.where(seg[:, None] != seg[None, :], _NEG, s)
     s_max = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - s_max)
     denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -49,7 +51,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
 
 
 def _bwd_kernel(
-    q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float
+    q_ref, k_ref, v_ref, bias_ref, seg_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    *, scale: float,
 ):
     q = q_ref[0]
     k = k_ref[0]
@@ -60,6 +63,8 @@ def _bwd_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     s = s + bias_ref[0, 0][None, :]
+    seg = seg_ref[0, 0]
+    s = jnp.where(seg[:, None] != seg[None, :], _NEG, s)
     s_max = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - s_max)
     p = p / jnp.sum(p, axis=-1, keepdims=True)  # [L, L] fp32
@@ -88,12 +93,12 @@ def _specs(L: int, D: int, heads: int):
     return qkv, bias
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash(q, k, v, bias_row, out_dtype):
-    return _flash_fwd(q, k, v, bias_row, out_dtype)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _flash(q, k, v, bias_row, seg_row, out_dtype):
+    return _flash_fwd(q, k, v, bias_row, seg_row, out_dtype)[0]
 
 
-def _flash_call(kernel, outs, q, k, v, bias_row, *extra):
+def _flash_call(kernel, outs, q, k, v, bias_row, seg_row, *extra):
     BH, L, D = q.shape
     heads = BH // bias_row.shape[0]
     qkv_spec, bias_spec = _specs(L, D, heads)
@@ -101,7 +106,8 @@ def _flash_call(kernel, outs, q, k, v, bias_row, *extra):
     return pl.pallas_call(
         kernel,
         grid=(BH,),
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec] + [qkv_spec] * n_extra,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, bias_spec]
+        + [qkv_spec] * n_extra,
         out_specs=[qkv_spec] * len(outs) if len(outs) > 1 else qkv_spec,
         out_shape=outs if len(outs) > 1 else outs[0],
         compiler_params=pltpu.CompilerParams(
@@ -109,25 +115,25 @@ def _flash_call(kernel, outs, q, k, v, bias_row, *extra):
         ),
         cost_estimate=pl.CostEstimate(
             flops=(4 + 6 * n_extra) * L * L * D,
-            bytes_accessed=(3 + n_extra) * L * D * 2 + L * 4,
+            bytes_accessed=(3 + n_extra) * L * D * 2 + L * 8,
             transcendentals=L * L,
         ),
-    )(q, k, v, bias_row, *extra)
+    )(q, k, v, bias_row, seg_row, *extra)
 
 
-def _flash_fwd(q, k, v, bias_row, out_dtype):
+def _flash_fwd(q, k, v, bias_row, seg_row, out_dtype):
     BH, L, D = q.shape
     scale = 1.0 / (D ** 0.5)
     out = _flash_call(
         functools.partial(_fwd_kernel, scale=scale),
         [jax.ShapeDtypeStruct((BH, L, D), out_dtype)],
-        q, k, v, bias_row,
+        q, k, v, bias_row, seg_row,
     )
-    return out, (q, k, v, bias_row)
+    return out, (q, k, v, bias_row, seg_row)
 
 
 def _flash_bwd(out_dtype, residuals, g):
-    q, k, v, bias_row = residuals
+    q, k, v, bias_row, seg_row = residuals
     BH, L, D = q.shape
     scale = 1.0 / (D ** 0.5)
     dq, dk, dv = _flash_call(
@@ -137,28 +143,35 @@ def _flash_bwd(out_dtype, residuals, g):
             jax.ShapeDtypeStruct((BH, L, D), k.dtype),
             jax.ShapeDtypeStruct((BH, L, D), v.dtype),
         ],
-        q, k, v, bias_row, g,
+        q, k, v, bias_row, seg_row, g,
     )
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_attention(q, k, v, bias=None, out_dtype=jnp.bfloat16):
+def flash_attention(q, k, v, bias=None, segment_ids=None, out_dtype=jnp.bfloat16):
     """softmax(qkᵀ/√d + bias)·v for [B, L, H, D] inputs.
 
-    ``bias`` is the additive [B, 1, 1, L] mask bias (or None). Returns
-    [B, L, H, D] in ``out_dtype``.
+    ``bias`` is the additive [B, 1, 1, L] mask bias (or None).
+    ``segment_ids`` ([B, L] int32, or None) makes attention block-diagonal
+    across packed segments. Returns [B, L, H, D] in ``out_dtype``.
     """
     B, L, H, D = q.shape
     if bias is None:
         bias_row = jnp.zeros((B, 1, L), jnp.float32)
     else:
         bias_row = jnp.maximum(bias.reshape(B, 1, L).astype(jnp.float32), _NEG)
+    if segment_ids is None:
+        seg_row = jnp.zeros((B, 1, L), jnp.float32)
+    else:
+        # kernel compares as float rows (int loads tile the same; float
+        # keeps one bias-style BlockSpec for both operands)
+        seg_row = segment_ids.reshape(B, 1, L).astype(jnp.float32)
 
     def fold(x):
         return x.transpose(0, 2, 1, 3).reshape(B * H, L, D)
 
-    out = _flash(fold(q), fold(k), fold(v), bias_row, out_dtype)
+    out = _flash(fold(q), fold(k), fold(v), bias_row, seg_row, out_dtype)
     return out.reshape(B, H, L, D).transpose(0, 2, 1, 3)

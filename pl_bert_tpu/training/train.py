@@ -137,6 +137,12 @@ class Trainer:
         )
 
         self.mesh = make_mesh(tp.data_axis, tp.model_axis)
+        data_size = self.mesh.shape["data"]
+        if tp.batch_size % data_size:
+            raise ValueError(
+                f"batch_size {tp.batch_size} must be divisible by the data "
+                f"axis size {data_size}"
+            )
         self.model = build_model(mp, tp.mixed_precision, remat=tp.remat)
         self.tx = make_optimizer(tp)
         self.use_token_ids = mp.num_token_vocab > 0
@@ -150,9 +156,14 @@ class Trainer:
                 "ondevice_masking does not carry grapheme token_ids yet; "
                 "use the host masking path for the multi-task model"
             )
+        if dp.sequence_packing and not dp.ondevice_masking:
+            raise ValueError("sequence_packing requires ondevice_masking")
         if self.ondevice_masking:
             from pl_bert_tpu.data.masking import MaskingParams
-            from pl_bert_tpu.data.packed import PackedPhonemeDataset
+            from pl_bert_tpu.data.packed import (
+                PackedPhonemeDataset,
+                PackedSequenceDataset,
+            )
             from pl_bert_tpu.data.pipeline import split_train_val
 
             self.masking_params = MaskingParams(
@@ -162,7 +173,17 @@ class Trainer:
                 max_seq_length=dp.max_seq_length,
                 word_separator=dp.word_separator,
             )
-            self.packed = PackedPhonemeDataset(dataset, dp.max_seq_length)
+            packed_cls = (
+                PackedSequenceDataset if dp.sequence_packing
+                else PackedPhonemeDataset
+            )
+            self.packed = packed_cls(dataset, dp.max_seq_length)
+            if dp.sequence_packing and is_main_process():
+                print(
+                    f"sequence packing: {len(dataset)} samples → "
+                    f"{len(self.packed)} rows "
+                    f"({self.packed.packing_efficiency:.0%} token occupancy)"
+                )
             self.train_idx, self.val_idx = split_train_val(
                 len(self.packed), seed=tp.seed
             )

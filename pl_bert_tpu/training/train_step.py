@@ -48,6 +48,8 @@ def _forward_loss(model, params, batch, rngs, deterministic, use_token_ids):
         {"params": params},
         batch["masked_ids"],
         attention_mask,
+        segment_ids=batch.get("segment_ids"),
+        position_ids=batch.get("position_ids"),
         deterministic=deterministic,
         rngs=rngs,
     )
@@ -94,13 +96,17 @@ def make_train_step(
                 batch["label_ids"], batch["word_ids"], batch["lengths"],
                 mask_rng, masking_params,
             )
-            batch = {
+            fwd = {
                 "masked_ids": masked_ids,
                 "label_ids": batch["label_ids"],
                 "token_ids": batch.get("token_ids", batch["label_ids"]),
                 "mask_positions": mask_positions,
                 "lengths": batch["lengths"],
             }
+            for key in ("segment_ids", "position_ids"):
+                if key in batch:
+                    fwd[key] = batch[key]
+            batch = fwd
 
         def loss_fn(params):
             return _forward_loss(
@@ -136,13 +142,17 @@ def make_eval_step(model, use_token_ids: bool = False, masking_params=None):
                 batch["label_ids"], batch["word_ids"], batch["lengths"],
                 rng, masking_params,
             )
-            batch = {
+            fwd = {
                 "masked_ids": masked_ids,
                 "label_ids": batch["label_ids"],
                 "token_ids": batch.get("token_ids", batch["label_ids"]),
                 "mask_positions": mask_positions,
                 "lengths": batch["lengths"],
             }
+            for key in ("segment_ids", "position_ids"):
+                if key in batch:
+                    fwd[key] = batch[key]
+            batch = fwd
         _, (logits, loss_p, _) = _forward_loss(
             model, params, batch, None, True, use_token_ids
         )
