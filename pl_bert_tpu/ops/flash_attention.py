@@ -29,7 +29,10 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, o_ref, *, scale: float):
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, seg_ref, o_ref, *, scale: float,
+    use_segments: bool,
+):
     # keep matmul operands in their storage dtype (bf16) — the MXU
     # consumes bf16 natively with fp32 accumulation; only softmax math
     # runs in fp32 on the VPU
@@ -40,8 +43,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, o_ref, *, scale: float):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [L, L] fp32
     s = s + bias_ref[0, 0][None, :]
-    seg = seg_ref[0, 0]  # [L] int32; block-diagonal mask across segments
-    s = jnp.where(seg[:, None] != seg[None, :], _NEG, s)
+    if use_segments:  # static: compiled out when no packing is in use
+        seg = seg_ref[0, 0]  # [L]; block-diagonal mask across segments
+        s = jnp.where(seg[:, None] != seg[None, :], _NEG, s)
     s_max = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - s_max)
     denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -52,7 +56,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seg_ref, o_ref, *, scale: float):
 
 def _bwd_kernel(
     q_ref, k_ref, v_ref, bias_ref, seg_ref, do_ref, dq_ref, dk_ref, dv_ref,
-    *, scale: float,
+    *, scale: float, use_segments: bool,
 ):
     q = q_ref[0]
     k = k_ref[0]
@@ -63,8 +67,9 @@ def _bwd_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     s = s + bias_ref[0, 0][None, :]
-    seg = seg_ref[0, 0]
-    s = jnp.where(seg[:, None] != seg[None, :], _NEG, s)
+    if use_segments:
+        seg = seg_ref[0, 0]
+        s = jnp.where(seg[:, None] != seg[None, :], _NEG, s)
     s_max = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - s_max)
     p = p / jnp.sum(p, axis=-1, keepdims=True)  # [L, L] fp32
@@ -93,9 +98,9 @@ def _specs(L: int, D: int, heads: int):
     return qkv, bias
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _flash(q, k, v, bias_row, seg_row, out_dtype):
-    return _flash_fwd(q, k, v, bias_row, seg_row, out_dtype)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash(q, k, v, bias_row, seg_row, out_dtype, use_segments):
+    return _flash_fwd(q, k, v, bias_row, seg_row, out_dtype, use_segments)[0]
 
 
 def _flash_call(kernel, outs, q, k, v, bias_row, seg_row, *extra):
@@ -121,23 +126,23 @@ def _flash_call(kernel, outs, q, k, v, bias_row, seg_row, *extra):
     )(q, k, v, bias_row, seg_row, *extra)
 
 
-def _flash_fwd(q, k, v, bias_row, seg_row, out_dtype):
+def _flash_fwd(q, k, v, bias_row, seg_row, out_dtype, use_segments):
     BH, L, D = q.shape
     scale = 1.0 / (D ** 0.5)
     out = _flash_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        functools.partial(_fwd_kernel, scale=scale, use_segments=use_segments),
         [jax.ShapeDtypeStruct((BH, L, D), out_dtype)],
         q, k, v, bias_row, seg_row,
     )
     return out, (q, k, v, bias_row, seg_row)
 
 
-def _flash_bwd(out_dtype, residuals, g):
+def _flash_bwd(out_dtype, use_segments, residuals, g):
     q, k, v, bias_row, seg_row = residuals
     BH, L, D = q.shape
     scale = 1.0 / (D ** 0.5)
     dq, dk, dv = _flash_call(
-        functools.partial(_bwd_kernel, scale=scale),
+        functools.partial(_bwd_kernel, scale=scale, use_segments=use_segments),
         [
             jax.ShapeDtypeStruct((BH, L, D), q.dtype),
             jax.ShapeDtypeStruct((BH, L, D), k.dtype),
@@ -173,5 +178,8 @@ def flash_attention(q, k, v, bias=None, segment_ids=None, out_dtype=jnp.bfloat16
     def fold(x):
         return x.transpose(0, 2, 1, 3).reshape(B * H, L, D)
 
-    out = _flash(fold(q), fold(k), fold(v), bias_row, seg_row, out_dtype)
+    out = _flash(
+        fold(q), fold(k), fold(v), bias_row, seg_row, out_dtype,
+        segment_ids is not None,
+    )
     return out.reshape(B, H, L, D).transpose(0, 2, 1, 3)
