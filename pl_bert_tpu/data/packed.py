@@ -1,10 +1,10 @@
-"""Packed dataset for the on-device masking path.
+"""Packed datasets for the on-device masking path.
 
 Each sample is encoded ONCE on the host into static arrays
 (label ids + word ids + length); per-epoch masking randomness then runs
 on device (ops/ondevice_masking.py). Batches here are pure stacking —
 the host hot loop shrinks from per-item RNG + string encoding to a
-memcpy.
+memcpy (and the encoding itself runs in the native C++ packer).
 """
 
 from __future__ import annotations
@@ -13,10 +13,66 @@ from typing import Iterator
 
 import numpy as np
 
-from pl_bert_tpu.ops.ondevice_masking import pack_sample
+
+class _PackedBase:
+    """Shared deterministic batching over precomputed row arrays.
+
+    Subclasses provide ``label_ids``/``lengths`` (+ extras) and
+    ``batch(indices) -> dict``.
+    """
+
+    lengths: np.ndarray
+
+    def __len__(self) -> int:
+        return len(self.lengths)
+
+    def batch(self, indices: np.ndarray) -> dict:
+        raise NotImplementedError
+
+    def batches(
+        self,
+        batch_size: int,
+        epoch: int,
+        seed: int = 1,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        indices: np.ndarray | None = None,
+        start_batch: int = 0,
+    ) -> Iterator[dict]:
+        order = np.arange(len(self)) if indices is None else np.asarray(indices)
+        if shuffle:
+            rng = np.random.Generator(
+                np.random.Philox(key=seed, counter=[0, 0, 0, epoch])
+            )
+            order = order[rng.permutation(len(order))]
+        n = len(order)
+        stop = n - (n % batch_size) if drop_last else n
+        for lo in range(start_batch * batch_size, stop, batch_size):
+            yield self.batch(order[lo : lo + batch_size])
 
 
-class PackedSequenceDataset:
+class PackedPhonemeDataset(_PackedBase):
+    """One sample per row, cropped/padded to the static length."""
+
+    def __init__(self, dataset, max_seq_length: int = 512) -> None:
+        from pl_bert_tpu.runtime import pack_batch_native
+
+        self.max_seq_length = max_seq_length
+        samples = [dataset[i]["phonemes"] for i in range(len(dataset))]
+        # one native C pass over the whole corpus (falls back to numpy)
+        self.label_ids, self.word_ids, self.lengths = pack_batch_native(
+            samples, max_seq_length
+        )
+
+    def batch(self, indices: np.ndarray) -> dict:
+        return {
+            "label_ids": self.label_ids[indices],
+            "word_ids": self.word_ids[indices],
+            "lengths": self.lengths[indices],
+        }
+
+
+class PackedSequenceDataset(_PackedBase):
     """Sequence-packed variant: multiple short samples share one row.
 
     First-fit-decreasing binning over the per-sample packed arrays; each
@@ -75,9 +131,6 @@ class PackedSequenceDataset:
                 pos += n
             self.lengths[r] = pos
 
-    def __len__(self) -> int:
-        return len(self.lengths)
-
     @property
     def packing_efficiency(self) -> float:
         return float(self.lengths.sum()) / (len(self) * self.max_seq_length)
@@ -90,60 +143,3 @@ class PackedSequenceDataset:
             "position_ids": self.position_ids[indices],
             "lengths": self.lengths[indices],
         }
-
-    batches = None  # assigned below (shared implementation)
-
-
-class PackedPhonemeDataset:
-    def __init__(self, dataset, max_seq_length: int = 512) -> None:
-        from pl_bert_tpu.runtime import pack_batch_native
-
-        self.max_seq_length = max_seq_length
-        samples = [dataset[i]["phonemes"] for i in range(len(dataset))]
-        # one native C pass over the whole corpus (falls back to numpy)
-        self.label_ids, self.word_ids, self.lengths = pack_batch_native(
-            samples, max_seq_length
-        )
-
-    def __len__(self) -> int:
-        return len(self.lengths)
-
-    def batch(self, indices: np.ndarray) -> dict:
-        return {
-            "label_ids": self.label_ids[indices],
-            "word_ids": self.word_ids[indices],
-            "lengths": self.lengths[indices],
-        }
-
-    def batches(
-        self,
-        batch_size: int,
-        epoch: int,
-        seed: int = 1,
-        shuffle: bool = True,
-        drop_last: bool = True,
-        indices: np.ndarray | None = None,
-        start_batch: int = 0,
-    ) -> Iterator[dict]:
-        order = (
-            np.arange(len(self)) if indices is None else np.asarray(indices)
-        )
-        if shuffle:
-            rng = np.random.Generator(
-                np.random.Philox(key=seed, counter=[0, 0, 0, epoch])
-            )
-            order = order[rng.permutation(len(order))]
-        n = len(order)
-        stop = n - (n % batch_size) if drop_last else n
-        for lo in range(start_batch * batch_size, stop, batch_size):
-            yield self.batch(order[lo : lo + batch_size])
-
-
-def _shared_batches(self, batch_size, epoch, seed=1, shuffle=True,
-                    drop_last=True, indices=None, start_batch=0):
-    return PackedPhonemeDataset.batches(
-        self, batch_size, epoch, seed, shuffle, drop_last, indices, start_batch
-    )
-
-
-PackedSequenceDataset.batches = _shared_batches
