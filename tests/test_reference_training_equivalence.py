@@ -1,0 +1,159 @@
+"""Training-step equivalence with the reference PyTorch stack.
+
+The fidelity gate from SURVEY §7 step 4: identical weights (via the HF
+export mapping), identical masked batch, then (a) the loss matches the
+reference's per-sample loop loss, and (b) one AdamW step produces the
+same parameters on both sides (torch AdamW vs optax.adamw, wd=0.01).
+"""
+
+import numpy as np
+import pytest
+
+from pl_bert_tpu.config import ModelParams, TrainingParams
+from pl_bert_tpu.data.collate import collate_fixed
+from pl_bert_tpu.data.masking import MaskingParams, WholeWordMasker
+from pl_bert_tpu.models.albert import AlbertConfig, build_model, init_params
+from pl_bert_tpu.training.train_step import (
+    TrainState,
+    batch_to_arrays,
+    make_optimizer,
+)
+
+MP = ModelParams(
+    hidden_size=96,
+    num_attention_heads=4,
+    intermediate_size=192,
+    max_position_embeddings=64,
+    num_hidden_layers=3,
+    embedding_size=48,
+    vocab_size=188,
+    dropout=0.0,  # deterministic comparison
+    attention_impl="xla",
+)
+
+
+def _batch(n=4, L=64):
+    rng = np.random.default_rng(0)
+    alphabet = list("ɑɐɒæbtkmnlsʃθð")
+    masker = WholeWordMasker(MaskingParams(max_seq_length=L), seed=3)
+    samples = []
+    for i in range(n):
+        words = [
+            "".join(rng.choice(alphabet, size=int(rng.integers(2, 8))))
+            for _ in range(int(rng.integers(6, 14)))
+        ]
+        samples.append(masker(words, epoch=0, index=i))
+    return collate_fixed(samples, L)
+
+
+def test_loss_and_one_step_match_torch():
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    from transformers import AlbertConfig as HFConfig
+    from transformers import AlbertModel as HFAlbert
+
+    from pl_bert_tpu.export.to_hf import full_model_state_dict
+    from pl_bert_tpu.ops.masked_ce import masked_phoneme_loss
+
+    # --- my side: model + params -----------------------------------------
+    model = build_model(MP, "fp32")
+    params = init_params(model, 64, seed=9)
+    tp = TrainingParams(learning_rate=1e-3, mixed_precision="fp32")
+    tx = make_optimizer(tp)
+    state = TrainState(params, tx.init(params), jnp.int32(0))
+
+    batch = _batch()
+    arrays = {k: jnp.asarray(v) for k, v in batch_to_arrays(batch).items()}
+
+    # --- torch side: same weights through the export mapping -------------
+    hf_cfg = HFConfig(
+        vocab_size=188, embedding_size=48, hidden_size=96,
+        num_attention_heads=4, intermediate_size=192,
+        max_position_embeddings=64, num_hidden_layers=3,
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+    )
+
+    class TorchPhonemeOnly(torch.nn.Module):
+        """Reference PhonemeOnlyModel shape (reference: model.py:19-29)."""
+
+        def __init__(self):
+            super().__init__()
+            self.encoder = HFAlbert(hf_cfg)
+            self.phoneme_predictor = torch.nn.Linear(96, 188)
+
+        def forward(self, ids, attention_mask):
+            out = self.encoder(ids, attention_mask=attention_mask)
+            return self.phoneme_predictor(out.last_hidden_state)
+
+    tmodel = TorchPhonemeOnly()
+    missing, unexpected = tmodel.load_state_dict(
+        full_model_state_dict(params), strict=False
+    )
+    assert not unexpected
+    assert all("position_ids" in m for m in missing)
+    tmodel.train()
+
+    ids_t = torch.from_numpy(np.asarray(batch.masked_ids)).long()
+    mask_np = np.asarray(batch.attention_mask).astype(np.int64)
+    mask_t = torch.from_numpy(mask_np)
+
+    # reference loss loop (train.py:107-131)
+    criterion = torch.nn.CrossEntropyLoss()
+    pred = tmodel(ids_t, mask_t)
+    loss_terms = []
+    for i in range(len(batch.lengths)):
+        idx = np.nonzero(batch.mask_positions[i])[0]
+        if len(idx) == 0:
+            continue
+        ln = int(batch.lengths[i])
+        loss_terms.append(
+            criterion(
+                pred[i][:ln][idx], torch.from_numpy(batch.label_ids[i][:ln][idx]).long()
+            )
+        )
+    assert loss_terms, "test batch must contain masked samples"
+    t_loss = sum(loss_terms) / len(loss_terms)
+
+    # my loss on the same logits-producing forward
+    def loss_fn(p):
+        logits = model.apply(
+            {"params": p}, arrays["masked_ids"],
+            (jnp.arange(64)[None, :] < arrays["lengths"][:, None]).astype(jnp.int32),
+            deterministic=True,
+        )
+        return masked_phoneme_loss(
+            logits, arrays["label_ids"], arrays["mask_positions"], arrays["lengths"]
+        )
+
+    j_loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    assert abs(float(j_loss) - float(t_loss)) < 2e-5, (float(j_loss), float(t_loss))
+
+    # --- one AdamW step each, compare a few weight tensors ----------------
+    topt = torch.optim.AdamW(tmodel.parameters(), lr=1e-3)  # torch defaults = ours
+    topt.zero_grad()
+    t_loss.backward()
+    topt.step()
+
+    import optax
+
+    updates, _ = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    checks = [
+        (
+            new_params["phoneme_predictor"]["kernel"],
+            tmodel.phoneme_predictor.weight.detach().numpy().T,
+        ),
+        (
+            new_params["encoder"]["encoder"]["albert_layer"]["ffn"]["kernel"],
+            tmodel.encoder.encoder.albert_layer_groups[0]
+            .albert_layers[0].ffn.weight.detach().numpy().T,
+        ),
+        (
+            new_params["encoder"]["embeddings"]["word_embeddings"]["embedding"],
+            tmodel.encoder.embeddings.word_embeddings.weight.detach().numpy(),
+        ),
+    ]
+    for mine, theirs in checks:
+        np.testing.assert_allclose(np.asarray(mine), theirs, atol=5e-5, rtol=1e-3)
