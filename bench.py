@@ -37,7 +37,9 @@ def main() -> None:
     from pl_bert_tpu.data.collate import collate_fixed
     from pl_bert_tpu.data.masking import MaskingParams, WholeWordMasker
     from pl_bert_tpu.models.albert import build_model, init_params
-    from pl_bert_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings
+    from pl_bert_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, param_shardings, shard_params,
+    )
     from pl_bert_tpu.training.train_step import (
         TrainState,
         batch_to_arrays,
@@ -58,8 +60,7 @@ def main() -> None:
     tx = make_optimizer(tp)
 
     params = init_params(model, SEQ, seed=0)
-    shardings = param_shardings(mesh, params)
-    params = jax.tree.map(jax.device_put, params, shardings)
+    params = shard_params(params, mesh)
     opt_state = jax.jit(
         tx.init,
         out_shardings=param_shardings(mesh, jax.eval_shape(tx.init, params)),

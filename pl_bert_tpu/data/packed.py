@@ -52,16 +52,58 @@ class _PackedBase:
 
 
 class PackedPhonemeDataset(_PackedBase):
-    """One sample per row, cropped/padded to the static length."""
+    """One sample per row, cropped/padded to the static length.
 
-    def __init__(self, dataset, max_seq_length: int = 512) -> None:
+    Samples longer than ``max_seq_length`` get a FRESH random crop window
+    every epoch (reference semantics: a random 512-window per
+    __getitem__, dataloader.py:110-126), via a cheap native re-pack of
+    just the long samples keyed by (seed, epoch)."""
+
+    def __init__(self, dataset, max_seq_length: int = 512, seed: int = 1) -> None:
         from pl_bert_tpu.runtime import pack_batch_native
 
         self.max_seq_length = max_seq_length
+        self.seed = seed
         samples = [dataset[i]["phonemes"] for i in range(len(dataset))]
         # one native C pass over the whole corpus (falls back to numpy)
         self.label_ids, self.word_ids, self.lengths = pack_batch_native(
             samples, max_seq_length
+        )
+        # keep only the samples that need per-epoch re-cropping
+        full_lens = np.array(
+            [sum(len(w) + 1 for w in s) for s in samples], dtype=np.int64
+        )
+        long_mask = full_lens > max_seq_length
+        self._long_idx = np.flatnonzero(long_mask)
+        self._long_samples = [samples[i] for i in self._long_idx]
+        self._long_full_lens = full_lens[self._long_idx]
+        self._crop_epoch = 0  # epoch the current windows belong to
+
+    def _recrop(self, epoch: int) -> None:
+        if epoch == self._crop_epoch or len(self._long_idx) == 0:
+            return
+        from pl_bert_tpu.runtime import pack_batch_native
+
+        rng = np.random.Generator(
+            np.random.Philox(key=self.seed, counter=[0, 0, 1, epoch])
+        )
+        # reference crop start: randint(0, full - max) — high-exclusive
+        offsets = rng.integers(
+            0, self._long_full_lens - self.max_seq_length
+        ).astype(np.int32)
+        labels, words, lengths = pack_batch_native(
+            self._long_samples, self.max_seq_length, offsets
+        )
+        self.label_ids[self._long_idx] = labels
+        self.word_ids[self._long_idx] = words
+        self.lengths[self._long_idx] = lengths
+        self._crop_epoch = epoch
+
+    def batches(self, batch_size, epoch, seed=1, shuffle=True, drop_last=True,
+                indices=None, start_batch=0):
+        self._recrop(epoch)
+        yield from super().batches(
+            batch_size, epoch, seed, shuffle, drop_last, indices, start_batch
         )
 
     def batch(self, indices: np.ndarray) -> dict:

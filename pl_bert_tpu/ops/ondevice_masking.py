@@ -74,11 +74,13 @@ def mask_batch(
     return masked_ids, mask_positions
 
 
-def pack_sample(word_phonemes: list[str], max_seq_length: int):
-    """Host-side one-time packing: per-word phoneme strings → (label_ids,
-    word_ids, length) numpy arrays with separators, cropped/padded to the
-    static length. This is the 'packed phoneme shard' layout the
-    on-device path consumes."""
+def pack_sample(word_phonemes: list[str], max_seq_length: int, offset: int = 0):
+    """Host-side packing: per-word phoneme strings → (label_ids, word_ids,
+    length) numpy arrays with separators, cropped to the window starting
+    at char-stream ``offset`` and padded to the static length. Word ids
+    are re-based to the window's first visible word. This is the 'packed
+    phoneme shard' layout the on-device path consumes (numpy fallback of
+    the native packer)."""
     import numpy as np
 
     from pl_bert_tpu.text.symbols import encode
@@ -93,14 +95,16 @@ def pack_sample(word_phonemes: list[str], max_seq_length: int):
         wid_parts.append(np.array([-1], np.int32))
     ids = np.concatenate(ids_parts) if ids_parts else np.zeros(0, np.int32)
     wids = np.concatenate(wid_parts) if wid_parts else np.zeros(0, np.int32)
-    n = len(ids)
-    if n > max_seq_length:
-        ids = ids[:max_seq_length]
-        wids = wids[:max_seq_length]
-        n = max_seq_length
+    if offset:
+        ids = ids[offset:]
+        wids = wids[offset:]
+    n = min(len(ids), max_seq_length)
+    ids, wids = ids[:n], wids[:n]
+    visible = wids >= 0
+    if visible.any():
+        wids = np.where(visible, wids - wids[visible][0], -1)
     out_ids = np.zeros(max_seq_length, np.int32)
     out_wids = np.full(max_seq_length, -1, np.int32)
     out_ids[:n] = ids
     out_wids[:n] = wids
-    # re-base word ids so they stay < max_seq_length after cropping
     return out_ids, out_wids, n

@@ -21,9 +21,13 @@ from __future__ import annotations
 
 import multiprocessing as mp
 import os
+import re
 import shutil
 import time
 from typing import Any, Callable, Iterable
+
+
+_SHARD_RE = re.compile(r"^shard_(\d+)$")
 
 
 def _shard_dir(root: str, i: int) -> str:
@@ -34,11 +38,9 @@ def get_existing_shards(root_directory: str) -> set[int]:
     existing = set()
     if os.path.isdir(root_directory):
         for name in os.listdir(root_directory):
-            if name.startswith("shard_"):
-                try:
-                    existing.add(int(name.split("_")[1]))
-                except ValueError:
-                    continue
+            m = _SHARD_RE.match(name)
+            if m:
+                existing.add(int(m.group(1)))
     return existing
 
 
@@ -137,12 +139,14 @@ def process_missing_shards(
 
 
 def load_all_shards(root: str) -> list[list[dict]]:
+    """Load completed shards only — leftover shard_N.tmp dirs from killed
+    workers are NOT shards (get_existing_shards agrees)."""
     shards = []
     for name in sorted(os.listdir(root)):
-        if name.startswith("shard_") and os.path.isdir(os.path.join(root, name)):
+        if _SHARD_RE.match(name) and os.path.isdir(os.path.join(root, name)):
             try:
                 shards.append(_load_records(os.path.join(root, name)))
-            except OSError as e:
+            except (OSError, ValueError) as e:
                 print(f"Error loading {name}: {e}")
     return shards
 
@@ -150,8 +154,12 @@ def load_all_shards(root: str) -> list[list[dict]]:
 def cleanup_shards(root: str) -> int:
     count = 0
     for name in os.listdir(root):
-        if name.startswith("shard_") and os.path.isdir(os.path.join(root, name)):
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        path = os.path.join(root, name)
+        is_shard = _SHARD_RE.match(name) or (
+            name.startswith("shard_") and name.endswith(".tmp")
+        )
+        if is_shard and os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
             count += 1
     return count
 

@@ -62,14 +62,21 @@ def native_available() -> bool:
 
 
 def pack_batch_native(
-    samples: list[list[str]], max_len: int
+    samples: list[list[str]],
+    max_len: int,
+    offsets: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batch of per-word phoneme strings → (label_ids [B, L], word_ids
-    [B, L], lengths [B]). Uses the C++ packer when available."""
+    [B, L], lengths [B]). ``offsets`` ([B] int32, default zeros) crops
+    each sample's window to start at that char-stream position (the
+    per-epoch random crop). Uses the C++ packer when available."""
     b = len(samples)
     labels = np.zeros((b, max_len), np.int32)
     words = np.full((b, max_len), -1, np.int32)
     lengths = np.zeros(b, np.int32)
+    if offsets is None:
+        offsets = np.zeros(b, np.int32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int32)
     native = _load_native()
     if native is not None:
         native.pack_batch(
@@ -77,10 +84,13 @@ def pack_batch_native(
             memoryview(labels).cast("B"),
             memoryview(words).cast("B"),
             memoryview(lengths).cast("B"),
+            offsets.tobytes(),
         )
         return labels, words, lengths
     from pl_bert_tpu.ops.ondevice_masking import pack_sample
 
     for i, sample in enumerate(samples):
-        labels[i], words[i], lengths[i] = pack_sample(sample, max_len)
+        labels[i], words[i], lengths[i] = pack_sample(
+            sample, max_len, offset=int(offsets[i])
+        )
     return labels, words, lengths

@@ -46,21 +46,26 @@ inline int32_t LookupId(Py_UCS4 cp) {
 // pack_batch(batch: list[list[str]], max_len: int,
 //            label_out: writable buffer int32 [B*max_len],
 //            word_out: writable buffer int32 [B*max_len],
-//            len_out: writable buffer int32 [B]) -> None
+//            len_out: writable buffer int32 [B],
+//            offsets: readable buffer int32 [B]) -> None
 //
 // label/word buffers must be pre-filled by the caller (zeros / -1).
+// offsets[i] skips that many leading chars (separators included) of
+// sample i's concatenated stream — the random-crop window start; word
+// ids are re-based to the first word visible in the window.
 PyObject* PackBatch(PyObject*, PyObject* args) {
   PyObject* batch;
   Py_ssize_t max_len;
-  Py_buffer label_buf, word_buf, len_buf;
-  if (!PyArg_ParseTuple(args, "Onw*w*w*", &batch, &max_len, &label_buf,
-                        &word_buf, &len_buf)) {
+  Py_buffer label_buf, word_buf, len_buf, off_buf;
+  if (!PyArg_ParseTuple(args, "Onw*w*w*y*", &batch, &max_len, &label_buf,
+                        &word_buf, &len_buf, &off_buf)) {
     return nullptr;
   }
   auto release = [&]() {
     PyBuffer_Release(&label_buf);
     PyBuffer_Release(&word_buf);
     PyBuffer_Release(&len_buf);
+    PyBuffer_Release(&off_buf);
   };
   if (g_lookup.empty()) {
     release();
@@ -75,7 +80,8 @@ PyObject* PackBatch(PyObject*, PyObject* args) {
   const Py_ssize_t b = PyList_GET_SIZE(batch);
   if (label_buf.len < static_cast<Py_ssize_t>(b * max_len * sizeof(int32_t)) ||
       word_buf.len < static_cast<Py_ssize_t>(b * max_len * sizeof(int32_t)) ||
-      len_buf.len < static_cast<Py_ssize_t>(b * sizeof(int32_t))) {
+      len_buf.len < static_cast<Py_ssize_t>(b * sizeof(int32_t)) ||
+      off_buf.len < static_cast<Py_ssize_t>(b * sizeof(int32_t))) {
     release();
     PyErr_SetString(PyExc_ValueError, "output buffers too small");
     return nullptr;
@@ -83,6 +89,7 @@ PyObject* PackBatch(PyObject*, PyObject* args) {
   auto* labels = static_cast<int32_t*>(label_buf.buf);
   auto* words = static_cast<int32_t*>(word_buf.buf);
   auto* lens = static_cast<int32_t*>(len_buf.buf);
+  const auto* offsets = static_cast<const int32_t*>(off_buf.buf);
 
   for (Py_ssize_t i = 0; i < b; ++i) {
     PyObject* sample = PyList_GET_ITEM(batch, i);
@@ -94,6 +101,9 @@ PyObject* PackBatch(PyObject*, PyObject* args) {
     int32_t* label_row = labels + i * max_len;
     int32_t* word_row = words + i * max_len;
     Py_ssize_t pos = 0;
+    Py_ssize_t stream = 0;  // position in the uncropped char stream
+    const Py_ssize_t offset = offsets[i];
+    int32_t first_word = -1;  // word-id re-base anchor for the window
     const Py_ssize_t n_words = PySequence_Size(sample);
     for (Py_ssize_t w = 0; w < n_words && pos < max_len; ++w) {
       PyObject* word = PySequence_GetItem(sample, w);
@@ -111,15 +121,24 @@ PyObject* PackBatch(PyObject*, PyObject* args) {
       const Py_ssize_t n_chars = PyUnicode_GET_LENGTH(word);
       const int kind = PyUnicode_KIND(word);
       const void* data = PyUnicode_DATA(word);
-      for (Py_ssize_t c = 0; c < n_chars && pos < max_len; ++c, ++pos) {
-        label_row[pos] = LookupId(PyUnicode_READ(kind, data, c));
-        word_row[pos] = static_cast<int32_t>(w);
+      if (stream + n_chars + 1 <= offset) {
+        stream += n_chars + 1;  // whole word before the window
+        Py_DECREF(word);
+        continue;
       }
-      if (pos < max_len) {
+      for (Py_ssize_t c = 0; c < n_chars && pos < max_len; ++c, ++stream) {
+        if (stream < offset) continue;
+        if (first_word < 0) first_word = static_cast<int32_t>(w);
+        label_row[pos] = LookupId(PyUnicode_READ(kind, data, c));
+        word_row[pos] = static_cast<int32_t>(w) - first_word;
+        ++pos;
+      }
+      if (stream >= offset && pos < max_len) {
         label_row[pos] = g_separator_id;
         word_row[pos] = -1;
         ++pos;
       }
+      ++stream;  // the separator slot
       Py_DECREF(word);
     }
     lens[i] = static_cast<int32_t>(pos);

@@ -57,7 +57,9 @@ def convert_numbers_to_arabic_words(text: str) -> str:
             words = arabic_number_words(int(num))
         except (ValueError, NotImplementedError):
             continue
-        text = re.sub(re.escape(num), words, text)
+        # digit-boundary anchors: never rewrite a run embedded in a longer
+        # run (e.g. when a huge ID failed verbalization and kept its digits)
+        text = re.sub(rf"(?<!\d){re.escape(num)}(?!\d)", words, text)
     return text
 
 

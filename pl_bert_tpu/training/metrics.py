@@ -52,17 +52,28 @@ class MetricsLogger:
         self._file = open(os.path.join(log_dir, "metrics.jsonl"), "a", buffering=1)
 
     def log_step(self, step: int, epoch: int, metrics: dict, tokens_per_batch: int = 0):
+        """Record one step's metrics.
+
+        ``metrics`` values may be device arrays — they are buffered as-is
+        and only materialized every ``log_interval`` steps, so logging
+        adds NO host-device synchronization to the steps in between
+        (the reference's ``.item()`` per step forces one; on the async
+        TPU dispatch path that would serialize every step)."""
         if not self.enabled:
             return
-        loss = float(metrics.get("phoneme_loss", metrics.get("loss", 0.0)))
-        self.rolling.append(loss)
+        self.rolling.append(metrics.get("phoneme_loss", metrics.get("loss", 0.0)))
+        if step % self.log_interval != 0:
+            return
         record = {
             "step": step,
             "epoch": epoch,
             **{k: float(v) for k, v in metrics.items()},
         }
+        loss = record.get("phoneme_loss", record.get("loss", 0.0))
         if len(self.rolling) == self.log_interval:
-            record["phoneme_loss_avg"] = float(np.mean(self.rolling))
+            record["phoneme_loss_avg"] = float(
+                np.mean([float(v) for v in self.rolling])
+            )
         now = time.perf_counter()
         if self._last_step is not None and now > self._last_time:
             sps = (step - self._last_step) / (now - self._last_time)
@@ -71,13 +82,12 @@ class MetricsLogger:
                 record["tokens_per_sec"] = sps * tokens_per_batch
         self._last_time, self._last_step = now, step
         self._emit(record)
-        if step % self.log_interval == 0:
-            parts = [f"step {step}", f"epoch {epoch}", f"loss {loss:.4f}"]
-            if "phoneme_loss_avg" in record:
-                parts.append(f"avg {record['phoneme_loss_avg']:.4f}")
-            if "tokens_per_sec" in record:
-                parts.append(f"{record['tokens_per_sec']:,.0f} tok/s")
-            print("  ".join(parts), flush=True)
+        parts = [f"step {step}", f"epoch {epoch}", f"loss {loss:.4f}"]
+        if "phoneme_loss_avg" in record:
+            parts.append(f"avg {record['phoneme_loss_avg']:.4f}")
+        if "tokens_per_sec" in record:
+            parts.append(f"{record['tokens_per_sec']:,.0f} tok/s")
+        print("  ".join(parts), flush=True)
 
     def log_validation(self, step: int, epoch: int, val_loss: float, val_acc: float):
         if not self.enabled:

@@ -39,6 +39,7 @@ from pl_bert_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     param_shardings,
+    shard_params,
 )
 from pl_bert_tpu.training.checkpoint import (
     checkpoint_path,
@@ -143,6 +144,18 @@ class Trainer:
                 f"batch_size {tp.batch_size} must be divisible by the data "
                 f"axis size {data_size}"
             )
+        if tp.model_axis > 1 and mp.attention_impl in ("auto", "pallas"):
+            # the Pallas kernel is not shard_map-wrapped yet, so GSPMD
+            # cannot partition it over the tensor axis — use XLA attention
+            # under TP (it partitions cleanly along heads)
+            import dataclasses as _dc
+
+            mp = _dc.replace(mp, attention_impl="xla")
+            if is_main_process():
+                print(
+                    "model_axis > 1: using XLA attention (Pallas kernel is "
+                    "single-shard for now)"
+                )
         self.model = build_model(mp, tp.mixed_precision, remat=tp.remat)
         self.tx = make_optimizer(tp)
         self.use_token_ids = mp.num_token_vocab > 0
@@ -205,8 +218,7 @@ class Trainer:
 
         # init params on host, then shard onto the mesh
         params = init_params(self.model, dp.max_seq_length, seed=tp.seed)
-        shardings = param_shardings(self.mesh, params)
-        params = jax.tree.map(jax.device_put, params, shardings)
+        params = shard_params(params, self.mesh)
         opt_state = jax.jit(
             self.tx.init, out_shardings=param_shardings(self.mesh, jax.eval_shape(self.tx.init, params))
         )(params)
@@ -308,13 +320,19 @@ class Trainer:
         dp = self.config.dataset_params
         tokens_per_batch = tp.batch_size * dp.max_seq_length
 
+        if self.current_step >= tp.num_steps:
+            # already complete — never train past the configured budget on
+            # relaunch (the elastic launcher restarts unconditionally)
+            return self.current_step
+
         val_loss, val_acc = self.validate()
         self.metrics.log_validation(self.current_step, self.start_epoch, val_loss, val_acc)
 
-        epoch = self.start_epoch
-        start_batch = self.start_batch
-        while epoch < tp.max_epochs:
-            epoch += 1
+        # resume CONTINUES the checkpointed epoch from its saved batch
+        # position; a fresh run starts at epoch 1, batch 0
+        epoch = max(self.start_epoch, 1)
+        start_batch = self.start_batch if self.start_epoch > 0 else 0
+        while epoch <= tp.max_epochs:
             if is_main_process():
                 print(f"Starting epoch {epoch}", flush=True)
             batch_idx = start_batch
@@ -328,9 +346,7 @@ class Trainer:
                 batch_idx += 1
                 self.profiler.tick(self.current_step)
                 self.metrics.log_step(
-                    self.current_step, epoch,
-                    {k: float(v) for k, v in metrics.items()},
-                    tokens_per_batch,
+                    self.current_step, epoch, metrics, tokens_per_batch
                 )
                 if self.current_step % tp.save_interval == 0:
                     save_checkpoint(
@@ -338,6 +354,8 @@ class Trainer:
                         self.state.opt_state, epoch, batch_idx,
                         keep=tp.keep_checkpoints,
                     )
+                val_every = tp.val_interval or tp.save_interval
+                if self.current_step % val_every == 0:
                     val_loss, val_acc = self.validate()
                     self.metrics.log_validation(
                         self.current_step, epoch, val_loss, val_acc
@@ -352,6 +370,7 @@ class Trainer:
                             keep=tp.keep_checkpoints,
                         )
                     return self.current_step
+            epoch += 1
         return self.current_step
 
 

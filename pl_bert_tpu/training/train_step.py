@@ -7,8 +7,10 @@ data-parallel gradient mean (an XLA all-reduce over the mesh's data
 axis, the NCCL-equivalent; SURVEY §2.3) all inside a single jit.
 
 The optimizer matches the reference: torch AdamW defaults
-(betas 0.9/0.999, eps 1e-8, weight_decay 0.01 applied to ALL params —
-the reference does not exclude LayerNorm/bias; reference train.py:272).
+(betas 0.9/0.999, eps 1e-8, weight_decay 0.01 on all params including
+LayerNorm/bias — the reference excludes nothing; reference train.py:272)
+except the gradient-less pooler, which torch AdamW implicitly skips
+(grad None) and we therefore mask from decay.
 """
 
 from __future__ import annotations
@@ -29,6 +31,19 @@ class TrainState(NamedTuple):
     step: jax.Array  # int32 scalar
 
 
+def _decay_mask(params) -> Any:
+    """Exclude the (gradient-less) pooler from weight decay: torch AdamW
+    skips params whose grad is None, so the reference's unused pooler
+    keeps its init weights — decoupled decay on zero-grad params would
+    instead shrink them to zero over 1M steps."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: not any(
+            getattr(k, "key", "") == "pooler" for k in path
+        ),
+        params,
+    )
+
+
 def make_optimizer(tp: TrainingParams) -> optax.GradientTransformation:
     return optax.adamw(
         learning_rate=tp.learning_rate,
@@ -36,6 +51,7 @@ def make_optimizer(tp: TrainingParams) -> optax.GradientTransformation:
         b2=tp.adam_b2,
         eps=tp.adam_eps,
         weight_decay=tp.weight_decay,
+        mask=_decay_mask,
     )
 
 
@@ -71,6 +87,29 @@ def _forward_loss(model, params, batch, rngs, deterministic, use_token_ids):
     return loss, (logits, loss, jnp.float32(0.0))
 
 
+def _apply_ondevice_masking(batch: dict, rng: jax.Array, masking_params) -> dict:
+    """Run the fused whole-word masking and assemble the forward batch —
+    shared by the train and eval steps so their preprocessing can never
+    diverge."""
+    from pl_bert_tpu.ops.ondevice_masking import mask_batch
+
+    masked_ids, mask_positions = mask_batch(
+        batch["label_ids"], batch["word_ids"], batch["lengths"],
+        rng, masking_params,
+    )
+    fwd = {
+        "masked_ids": masked_ids,
+        "label_ids": batch["label_ids"],
+        "token_ids": batch.get("token_ids", batch["label_ids"]),
+        "mask_positions": mask_positions,
+        "lengths": batch["lengths"],
+    }
+    for key in ("segment_ids", "position_ids"):
+        if key in batch:
+            fwd[key] = batch[key]
+    return fwd
+
+
 def make_train_step(
     model,
     tx,
@@ -89,24 +128,8 @@ def make_train_step(
         rng = jax.random.fold_in(base_rng, state.step)
 
         if masking_params is not None:
-            from pl_bert_tpu.ops.ondevice_masking import mask_batch
-
             mask_rng, rng = jax.random.split(rng)
-            masked_ids, mask_positions = mask_batch(
-                batch["label_ids"], batch["word_ids"], batch["lengths"],
-                mask_rng, masking_params,
-            )
-            fwd = {
-                "masked_ids": masked_ids,
-                "label_ids": batch["label_ids"],
-                "token_ids": batch.get("token_ids", batch["label_ids"]),
-                "mask_positions": mask_positions,
-                "lengths": batch["lengths"],
-            }
-            for key in ("segment_ids", "position_ids"):
-                if key in batch:
-                    fwd[key] = batch[key]
-            batch = fwd
+            batch = _apply_ondevice_masking(batch, mask_rng, masking_params)
 
         def loss_fn(params):
             return _forward_loss(
@@ -136,23 +159,7 @@ def make_eval_step(model, use_token_ids: bool = False, masking_params=None):
 
     def step_fn(params, batch: dict, rng: jax.Array):
         if masking_params is not None:
-            from pl_bert_tpu.ops.ondevice_masking import mask_batch
-
-            masked_ids, mask_positions = mask_batch(
-                batch["label_ids"], batch["word_ids"], batch["lengths"],
-                rng, masking_params,
-            )
-            fwd = {
-                "masked_ids": masked_ids,
-                "label_ids": batch["label_ids"],
-                "token_ids": batch.get("token_ids", batch["label_ids"]),
-                "mask_positions": mask_positions,
-                "lengths": batch["lengths"],
-            }
-            for key in ("segment_ids", "position_ids"):
-                if key in batch:
-                    fwd[key] = batch[key]
-            batch = fwd
+            batch = _apply_ondevice_masking(batch, rng, masking_params)
         _, (logits, loss_p, _) = _forward_loss(
             model, params, batch, None, True, use_token_ids
         )

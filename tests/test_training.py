@@ -64,13 +64,10 @@ def test_loss_decreases_and_checkpoints(tmp_path):
     # loss went down over the few steps
     import json
 
-    records = [
-        json.loads(l)
-        for l in open(run_dir / "metrics.jsonl")
-        if "loss" in json.loads(l)
-    ]
+    records = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
     losses = [r["loss"] for r in records if "loss" in r]
-    assert len(losses) >= 6
+    # metrics emit every log_interval (=2) steps → 3 training records
+    assert len(losses) >= 3
     assert losses[-1] < losses[0] * 1.5  # sanity: not exploding
 
 

@@ -41,4 +41,4 @@ def test_ondevice_masking_end_to_end(tmp_path):
     val = [r for r in records if "val_phoneme_loss" in r]
     assert val and val[0]["val_phoneme_loss"] > 0
     steps = [r for r in records if "loss" in r]
-    assert len(steps) == 4
+    assert len(steps) == 2  # every log_interval (=2) of 4 steps
