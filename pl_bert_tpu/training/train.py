@@ -338,9 +338,11 @@ class Trainer:
             batch_idx = start_batch
             it = self._train_batches(epoch=epoch, start_batch=start_batch)
             start_batch = 0
-            for batch in prefetch(it, size=2):
+            # device_put inside the prefetch thread: host→device transfer
+            # overlaps the previous step's device compute
+            for device_batch in prefetch((self._put(b) for b in it), size=2):
                 self.state, metrics = self.train_step(
-                    self.state, self._put(batch), self.base_rng
+                    self.state, device_batch, self.base_rng
                 )
                 self.current_step += 1
                 batch_idx += 1
