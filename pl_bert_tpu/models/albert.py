@@ -156,10 +156,18 @@ class AlbertSelfAttention(nn.Module):
         if impl == "pallas":
             from pl_bert_tpu.ops.attention import fused_attention
 
+            # HF-style attention-prob dropout, generated INSIDE the kernel
+            # (the backward kernel regenerates the same mask from the seed)
+            rate, seed = 0.0, None
+            if not deterministic and cfg.dropout > 0.0:
+                rate = cfg.dropout
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max
+                )
             ctx = fused_attention(
-                q, k, v, attention_bias, segment_ids, dtype=cfg.dtype
+                q, k, v, attention_bias, segment_ids, dtype=cfg.dtype,
+                dropout_rate=rate, dropout_seed=seed,
             )
-            ctx = nn.Dropout(cfg.dropout)(ctx, deterministic=deterministic)
         else:
             scores = jnp.einsum(
                 "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32

@@ -61,9 +61,15 @@ def xla_attention(q, k, v, bias=None, segment_ids=None, dtype=jnp.bfloat16):
     return jnp.einsum("bhlm,bmhd->blhd", probs, v)
 
 
-def fused_attention(q, k, v, bias=None, segment_ids=None, dtype=jnp.bfloat16):
+def fused_attention(
+    q, k, v, bias=None, segment_ids=None, dtype=jnp.bfloat16,
+    dropout_rate: float = 0.0, dropout_seed=None,
+):
     if pallas_supported(q.shape[1], q.shape[-1]):
         from pl_bert_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, bias, segment_ids, out_dtype=dtype)
+        return flash_attention(
+            q, k, v, bias, segment_ids, out_dtype=dtype,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+        )
     return xla_attention(q, k, v, bias, segment_ids, dtype=dtype)
