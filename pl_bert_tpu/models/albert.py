@@ -83,6 +83,20 @@ def _act(name: str):
     raise ValueError(f"unsupported activation: {name}")
 
 
+class _LNParams(nn.Module):
+    """LayerNorm affine params only (same param paths as nn.LayerNorm) —
+    used when the normalization math itself runs in the fused Pallas
+    kernel (ops/fused_ln.py)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 def _dense(cfg: AlbertConfig, features: int, name: str) -> nn.Dense:
     return nn.Dense(
         features,
@@ -188,11 +202,25 @@ class AlbertSelfAttention(nn.Module):
             ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
 
         out = _dense(cfg, H, "dense")(ctx.reshape(B, L, H))
-        out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
-        out = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
-            param_dtype=jnp.float32, name="LayerNorm",
-        )(hidden + out)
+        from pl_bert_tpu.ops.fused_ln import dropout_add_layernorm, fused_supported
+
+        if impl == "pallas" and fused_supported(B * L, H):
+            scale, bias_p = _LNParams(H, name="LayerNorm")()
+            rate, seed = 0.0, None
+            if not deterministic and cfg.dropout > 0.0:
+                rate = cfg.dropout
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max
+                )
+            out = dropout_add_layernorm(
+                out, hidden, scale, bias_p, seed, rate, cfg.layer_norm_eps
+            )
+        else:
+            out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+            out = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                param_dtype=jnp.float32, name="LayerNorm",
+            )(hidden + out)
         return out
 
 
@@ -210,6 +238,26 @@ class AlbertLayer(nn.Module):
         ffn = _dense(cfg, cfg.intermediate_size, "ffn")(attn_out)
         ffn = _act(cfg.hidden_act)(ffn)
         ffn = _dense(cfg, cfg.hidden_size, "ffn_output")(ffn)
+
+        from pl_bert_tpu.ops.fused_ln import dropout_add_layernorm, fused_supported
+
+        B, L, H = ffn.shape
+        impl = cfg.attention_impl
+        if impl == "auto":
+            from pl_bert_tpu.ops.attention import pallas_supported
+
+            impl = "pallas" if pallas_supported(L, cfg.head_dim) else "xla"
+        if impl == "pallas" and fused_supported(B * L, H):
+            scale, bias_p = _LNParams(H, name="full_layer_layer_norm")()
+            rate, seed = 0.0, None
+            if not deterministic and cfg.dropout > 0.0:
+                rate = cfg.dropout
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max
+                )
+            return dropout_add_layernorm(
+                ffn, attn_out, scale, bias_p, seed, rate, cfg.layer_norm_eps
+            )
         ffn = nn.Dropout(cfg.dropout)(ffn, deterministic=deterministic)
         return nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,

@@ -1,0 +1,172 @@
+"""Fused dropout + residual-add + LayerNorm Pallas kernel.
+
+Each ALBERT layer applies dropout→add-residual→LayerNorm twice
+(after the attention projection and after ffn_output; reference HF
+AlbertLayer). Under XLA these are separate elementwise passes over
+[B·L, hidden] with PRNG mask generation in between — ~11% of step time.
+This kernel does the whole chain in one VMEM pass; the backward kernel
+regenerates the dropout mask from the same seed (no mask tensor stored)
+and recomputes the LN statistics, emitting per-block partial sums for
+dgamma/dbeta that XLA reduces.
+
+Numerics: accumulation and LN statistics in fp32; inputs/outputs bf16
+(or fp32 on CPU tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK_ROWS = 256
+
+
+def _mask(shape, seed_ref, *, rate: float):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits > jnp.uint32(rate * (2**32))
+
+
+def _ln_stats(y, eps):
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    return (y - mean) * rstd, rstd
+
+
+def _fwd_kernel(
+    x_ref, res_ref, gamma_ref, beta_ref, seed_ref, o_ref,
+    *, rate: float, eps: float,
+):
+    x = x_ref[...].astype(jnp.float32)
+    if rate > 0.0:
+        keep = _mask(x.shape, seed_ref, rate=rate)
+        x = jnp.where(keep, x / (1.0 - rate), 0.0)
+    y = x + res_ref[...].astype(jnp.float32)
+    xhat, _ = _ln_stats(y, eps)
+    out = xhat * gamma_ref[...].astype(jnp.float32) + beta_ref[...].astype(
+        jnp.float32
+    )
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    x_ref, res_ref, gamma_ref, beta_ref, seed_ref, g_ref,
+    dx_ref, dres_ref, dgamma_ref, dbeta_ref,
+    *, rate: float, eps: float,
+):
+    x = x_ref[...].astype(jnp.float32)
+    if rate > 0.0:
+        keep = _mask(x.shape, seed_ref, rate=rate)  # same seed → same mask
+        x = jnp.where(keep, x / (1.0 - rate), 0.0)
+    y = x + res_ref[...].astype(jnp.float32)
+    xhat, rstd = _ln_stats(y, eps)
+
+    g = g_ref[...].astype(jnp.float32)
+    gamma = gamma_ref[...].astype(jnp.float32)
+    # per-block partial reductions for the affine params ([1, 1, H] blocks)
+    dgamma_ref[...] = jnp.sum(g * xhat, axis=0, keepdims=True)[None]
+    dbeta_ref[...] = jnp.sum(g, axis=0, keepdims=True)[None]
+
+    gg = g * gamma
+    h = x.shape[-1]
+    m1 = jnp.sum(gg, axis=-1, keepdims=True) / h
+    m2 = jnp.sum(gg * xhat, axis=-1, keepdims=True) / h
+    dy = (gg - m1 - xhat * m2) * rstd
+    dres_ref[...] = dy.astype(dres_ref.dtype)
+    if rate > 0.0:
+        dy = jnp.where(keep, dy / (1.0 - rate), 0.0)
+    dx_ref[...] = dy.astype(dx_ref.dtype)
+
+
+def _specs(H: int):
+    row = pl.BlockSpec((_BLOCK_ROWS, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec(memory_space=pltpu.SMEM)
+    partial = pl.BlockSpec((1, 1, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return row, vec, seed, partial
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused(x, res, gamma, beta, seed, rate, eps):
+    return _fused_fwd(x, res, gamma, beta, seed, rate, eps)[0]
+
+
+def _fused_fwd(x, res, gamma, beta, seed, rate, eps):
+    N, H = x.shape
+    row, vec, seed_spec, _ = _specs(H)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, rate=rate, eps=eps),
+        grid=(N // _BLOCK_ROWS,),
+        in_specs=[row, row, vec, vec, seed_spec],
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct((N, H), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+    )(x, res, gamma.reshape(1, H), beta.reshape(1, H), seed)
+    return out, (x, res, gamma, beta, seed)
+
+
+def _fused_bwd(rate, eps, residuals, g):
+    x, res, gamma, beta, seed = residuals
+    N, H = x.shape
+    n_blocks = N // _BLOCK_ROWS
+    row, vec, seed_spec, partial = _specs(H)
+    dx, dres, dgamma_p, dbeta_p = pl.pallas_call(
+        functools.partial(_bwd_kernel, rate=rate, eps=eps),
+        grid=(n_blocks,),
+        in_specs=[row, row, vec, vec, seed_spec, row],
+        out_specs=[row, row, partial, partial],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H), x.dtype),
+            jax.ShapeDtypeStruct((N, H), res.dtype),
+            jax.ShapeDtypeStruct((n_blocks, 1, H), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+    )(x, res, gamma.reshape(1, H), beta.reshape(1, H), seed, g)
+    dgamma = dgamma_p.sum(axis=(0, 1)).astype(gamma.dtype)
+    dbeta = dbeta_p.sum(axis=(0, 1)).astype(beta.dtype)
+    return dx, dres, dgamma, dbeta, None
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_supported(n_rows: int, hidden: int) -> bool:
+    from pl_bert_tpu.ops.attention import _kernel_available, _on_tpu
+
+    return (
+        _on_tpu()
+        and _kernel_available()
+        and n_rows % _BLOCK_ROWS == 0
+        and hidden % 128 == 0
+    )
+
+
+def dropout_add_layernorm(
+    x, residual, gamma, beta, seed=None, rate: float = 0.0, eps: float = 1e-12
+):
+    """LayerNorm(residual + dropout(x)) over the last axis.
+
+    x/residual: [..., H] (flattened internally); gamma/beta: [H];
+    seed: int32 scalar array (required when rate > 0).
+    """
+    shape = x.shape
+    H = shape[-1]
+    x2 = x.reshape(-1, H)
+    r2 = residual.reshape(-1, H)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+        rate = 0.0
+    else:
+        seed = seed.reshape(1).astype(jnp.int32)
+    out = _fused(x2, r2, gamma, beta, seed, float(rate), float(eps))
+    return out.reshape(shape)

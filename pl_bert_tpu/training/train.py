@@ -376,9 +376,26 @@ class Trainer:
         return self.current_step
 
 
+def maybe_init_distributed() -> None:
+    """Multi-host (TPU pod slice) initialization.
+
+    The reference scales multi-device via `accelerate launch` process
+    spawning; under SPMD the equivalent is one process per host with
+    jax.distributed coordinating. Enable with PLBERT_DISTRIBUTED=1 (or
+    any environment where JAX can auto-detect the cluster)."""
+    if os.environ.get("PLBERT_DISTRIBUTED") == "1":
+        jax.distributed.initialize()
+        print(
+            f"jax.distributed: process {jax.process_index()} of "
+            f"{jax.process_count()}, {jax.local_device_count()} local devices",
+            flush=True,
+        )
+
+
 def train(args: dict | None = None, dataset=None) -> int:
     if args is None:
         args = parse_args()
+    maybe_init_distributed()
     config, log_dir, resuming = setup_config_and_directories(
         args, args["config_path"]
     )

@@ -1,0 +1,72 @@
+"""Fused dropout+add+LayerNorm kernel: numeric + gradient parity
+(interpret mode, dropout off — the PRNG path is TPU-only; masking
+semantics are shared with the attention kernel's tested _dropout)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from pl_bert_tpu.ops.fused_ln import dropout_add_layernorm
+
+N, H = 512, 256
+
+
+def _reference(x, res, gamma, beta, eps=1e-12):
+    y = x.astype(jnp.float32) + res.astype(jnp.float32)
+    mean = y.mean(-1, keepdims=True)
+    var = ((y - mean) ** 2).mean(-1, keepdims=True)
+    xhat = (y - mean) * jax.lax.rsqrt(var + eps)
+    return xhat * gamma + beta
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((N, H)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((N, H)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(H) * 0.1 + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(H) * 0.1, jnp.float32)
+    return x, res, gamma, beta
+
+
+def test_forward_matches_reference():
+    x, res, gamma, beta = _inputs()
+    with pltpu.force_tpu_interpret_mode():
+        out = dropout_add_layernorm(x, res, gamma, beta)
+    ref = _reference(x, res, gamma, beta)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_gradients_match_reference():
+    x, res, gamma, beta = _inputs(seed=1)
+
+    def loss_fused(x, res, gamma, beta):
+        o = dropout_add_layernorm(x, res, gamma, beta)
+        return jnp.sum(o * jnp.sin(o))
+
+    def loss_ref(x, res, gamma, beta):
+        o = _reference(x, res, gamma, beta)
+        return jnp.sum(o * jnp.sin(o))
+
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, res, gamma, beta)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, res, gamma, beta)
+    for gf, gr, name in zip(g_fused, g_ref, ["dx", "dres", "dgamma", "dbeta"]):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=5e-4, rtol=1e-3, err_msg=name
+        )
+
+
+def test_batched_shape_roundtrip():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 256, H)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((2, 256, H)), jnp.float32)
+    gamma = jnp.ones(H)
+    beta = jnp.zeros(H)
+    with pltpu.force_tpu_interpret_mode():
+        out = dropout_add_layernorm(x, res, gamma, beta)
+    assert out.shape == (2, 256, H)
+    ref = _reference(x.reshape(-1, H), res.reshape(-1, H), gamma, beta)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(-1, H), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
