@@ -1,0 +1,64 @@
+"""Hardware-only checks (skipped on CPU; run with JAX_PLATFORMS unset on
+a machine with a real TPU attached).
+
+These validate what interpret mode cannot: PRNG seed sensitivity inside
+the Pallas kernels, pallas-vs-xla full-model agreement, and that the
+fused training step turns a profit over the XLA path.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires a real TPU"
+)
+
+
+def test_kernel_dropout_seed_sensitivity():
+    import jax.numpy as jnp
+
+    from pl_bert_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((2, 512, 4, 64)), jnp.bfloat16)
+        for _ in range(3)
+    )
+    f = jax.jit(
+        lambda s: flash_attention(
+            q, k, v, out_dtype=jnp.bfloat16, dropout_rate=0.1, dropout_seed=s
+        )
+    )
+    d1 = np.asarray(f(jnp.asarray([7], jnp.int32)))
+    d2 = np.asarray(f(jnp.asarray([7], jnp.int32)))
+    d3 = np.asarray(f(jnp.asarray([8], jnp.int32)))
+    assert np.array_equal(d1, d2)
+    assert not np.array_equal(d1, d3)
+
+
+def test_full_model_pallas_matches_xla():
+    import jax.numpy as jnp
+
+    from pl_bert_tpu.config import ModelParams
+    from pl_bert_tpu.models.albert import build_model, init_params
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 188, size=(8, 512)), jnp.int32)
+    mask = np.ones((8, 512), np.int32)
+    mask[2, 300:] = 0
+    mask = jnp.asarray(mask)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        model = build_model(
+            ModelParams(attention_impl=impl, dropout=0.1), "bf16"
+        )
+        params = init_params(model, 512, seed=0)
+        out = jax.jit(
+            lambda p, i, m: model.apply({"params": p}, i, m, deterministic=True)
+        )(params, ids, mask)
+        outs[impl] = np.asarray(out, np.float32)
+    rel = np.abs(outs["xla"] - outs["pallas"]).max() / (
+        np.abs(outs["xla"]).max() + 1e-9
+    )
+    assert rel < 0.05, rel  # bf16 noise only
