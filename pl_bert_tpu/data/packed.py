@@ -80,7 +80,9 @@ class PackedPhonemeDataset(_PackedBase):
         self._crop_epoch = 0  # epoch the current windows belong to
 
     def _recrop(self, epoch: int) -> None:
-        if epoch == self._crop_epoch or len(self._long_idx) == 0:
+        # epoch 0 = the deterministic head-crop state from __init__ (used
+        # for stable validation snapshots); training epochs start at 1
+        if epoch == self._crop_epoch or epoch == 0 or len(self._long_idx) == 0:
             return
         from pl_bert_tpu.runtime import pack_batch_native
 

@@ -162,10 +162,13 @@ class AlbertSelfAttention(nn.Module):
         k = _dense(cfg, H, "key")(hidden).reshape(B, L, nh, hd)
         v = _dense(cfg, H, "value")(hidden).reshape(B, L, nh, hd)
 
-        impl = cfg.attention_impl
-        if impl == "auto":
-            from pl_bert_tpu.ops.attention import pallas_supported
+        from pl_bert_tpu.ops.attention import pallas_supported
 
+        impl = cfg.attention_impl
+        if impl != "xla":
+            # "auto" and explicit "pallas" both require kernel support;
+            # otherwise fall back to the XLA branch so attention-prob
+            # dropout still applies
             impl = "pallas" if pallas_supported(L, hd) else "xla"
         if impl == "pallas":
             from pl_bert_tpu.ops.attention import fused_attention

@@ -5,10 +5,9 @@ for [B, L, H, D] tensors. On TPU it runs the Pallas flash-style kernel
 (pl_bert_tpu.ops.flash_attention); elsewhere (CPU tests) it falls back
 to the einsum path, which XLA fuses well for seq-512.
 
-Note on dropout: the reference (HF Albert) drops attention *probs*
-inside the softmax; the fused kernel keeps probs internal, so the model
-applies dropout to the attention *output* instead when the kernel is in
-use — same regularization budget, documented divergence.
+Dropout: the fused kernel applies HF-style attention-prob dropout
+INSIDE the kernel (mask regenerated from the seed in the backward pass);
+the XLA path applies the same prob dropout via nn.Dropout in the model.
 """
 
 from __future__ import annotations

@@ -16,9 +16,14 @@ def native_dir() -> str:
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 
 
+# bump when the C ABI of packer.cc changes (stale .so files from earlier
+# ABIs are simply ignored and a fresh build is triggered)
+ABI_VERSION = 2
+
+
 def so_path() -> str:
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    return os.path.join(native_dir(), f"_plbert_native{suffix}")
+    return os.path.join(native_dir(), f"_plbert_native_v{ABI_VERSION}{suffix}")
 
 
 def build(verbose: bool = True) -> str:

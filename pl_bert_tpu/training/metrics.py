@@ -34,6 +34,7 @@ class MetricsLogger:
         self.log_interval = log_interval
         self.rolling = deque(maxlen=log_interval)
         self.enabled = is_main_process()
+        self._pending = None
         self._wandb = None
         self._file = None
         self._last_time = time.perf_counter()
@@ -63,7 +64,11 @@ class MetricsLogger:
             return
         self.rolling.append(metrics.get("phoneme_loss", metrics.get("loss", 0.0)))
         if step % self.log_interval != 0:
+            # keep the newest metrics so flush() can emit the final
+            # partial window at the end of training
+            self._pending = (step, epoch, metrics, tokens_per_batch)
             return
+        self._pending = None
         record = {
             "step": step,
             "epoch": epoch,
@@ -88,6 +93,20 @@ class MetricsLogger:
         if "tokens_per_sec" in record:
             parts.append(f"{record['tokens_per_sec']:,.0f} tok/s")
         print("  ".join(parts), flush=True)
+
+    def flush(self) -> None:
+        """Emit the final partial-step record (training ended off the
+        log_interval grid)."""
+        if not self.enabled or getattr(self, "_pending", None) is None:
+            return
+        step, epoch, metrics, _ = self._pending
+        self._pending = None
+        record = {
+            "step": step,
+            "epoch": epoch,
+            **{k: float(v) for k, v in metrics.items()},
+        }
+        self._emit(record)
 
     def log_validation(self, step: int, epoch: int, val_loss: float, val_acc: float):
         if not self.enabled:

@@ -190,7 +190,10 @@ class Trainer:
                 PackedSequenceDataset if dp.sequence_packing
                 else PackedPhonemeDataset
             )
-            self.packed = packed_cls(dataset, dp.max_seq_length)
+            kwargs = (
+                {} if dp.sequence_packing else {"seed": tp.seed}
+            )  # FFD packing is deterministic; crop RNG keys off the seed
+            self.packed = packed_cls(dataset, dp.max_seq_length, **kwargs)
             if dp.sequence_packing and is_main_process():
                 print(
                     f"sequence packing: {len(dataset)} samples → "
@@ -200,6 +203,17 @@ class Trainer:
             self.train_idx, self.val_idx = split_train_val(
                 len(self.packed), seed=tp.seed
             )
+            # snapshot validation rows NOW (epoch-0 head-crop state):
+            # validation must not trigger re-cropping of the shared train
+            # arrays mid-epoch, and the val set stays identical across
+            # epochs and across resumed runs
+            self._val_cache = [
+                {k: v.copy() for k, v in b.items()}
+                for b in self.packed.batches(
+                    tp.batch_size, epoch=0, shuffle=False, drop_last=False,
+                    indices=self.val_idx,
+                )
+            ]
             self.train_data = self.val_data = None
         else:
             self.train_data, self.val_data = build_dataloader(
@@ -280,10 +294,7 @@ class Trainer:
 
     def _val_batches(self):
         if self.ondevice_masking:
-            return self.packed.batches(
-                self.config.training_params.batch_size, epoch=0,
-                shuffle=False, drop_last=False, indices=self.val_idx,
-            )
+            return iter(self._val_cache)
         return self.val_data.batches(epoch=0)
 
     @staticmethod
@@ -371,8 +382,10 @@ class Trainer:
                             self.state.opt_state, epoch, batch_idx,
                             keep=tp.keep_checkpoints,
                         )
+                    self.metrics.flush()
                     return self.current_step
             epoch += 1
+        self.metrics.flush()
         return self.current_step
 
 
