@@ -97,6 +97,50 @@ class _LNParams(nn.Module):
         return scale, bias
 
 
+class _DenseParams(nn.Module):
+    """Dense kernel/bias params WITHOUT the matmul (same param paths,
+    shapes and init as nn.Dense) — used when the projection itself runs
+    inside a fused Pallas kernel (ops/attention_block.py)."""
+
+    in_features: int
+    out_features: int
+    init_range: float
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.normal(self.init_range),
+            (self.in_features, self.out_features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_features,))
+        return kernel, bias
+
+
+def _resolve_impl(cfg: AlbertConfig, seq_len: int) -> str:
+    """Pick the attention implementation for this call's shapes.
+
+    "auto" prefers the fully-fused block kernel (QKV + attention +
+    output projection, transpose-free), then the per-head flash kernel,
+    then XLA einsum attention. Explicit values force a path (with a
+    fallback to XLA off-TPU so CPU tests exercise model semantics)."""
+    from pl_bert_tpu.ops.attention import fused_block_supported, pallas_supported
+
+    impl = cfg.attention_impl
+    if impl == "xla":
+        return impl
+    if impl == "pallas_block":
+        return impl if fused_block_supported(
+            seq_len, cfg.num_attention_heads, cfg.head_dim
+        ) else "xla"
+    if impl == "pallas":
+        return impl if pallas_supported(seq_len, cfg.head_dim) else "xla"
+    if fused_block_supported(seq_len, cfg.num_attention_heads, cfg.head_dim):
+        return "pallas_block"
+    if pallas_supported(seq_len, cfg.head_dim):
+        return "pallas"
+    return "xla"
+
+
 def _dense(cfg: AlbertConfig, features: int, name: str) -> nn.Dense:
     return nn.Dense(
         features,
@@ -152,35 +196,64 @@ class AlbertEmbeddings(nn.Module):
 class AlbertSelfAttention(nn.Module):
     cfg: AlbertConfig
 
+    def _dropout_seed(self, deterministic: bool):
+        """(rate, seed) for in-kernel attention/residual dropout; the
+        Pallas kernels regenerate the mask from the seed in backward."""
+        cfg = self.cfg
+        if deterministic or cfg.dropout <= 0.0:
+            return 0.0, None
+        return cfg.dropout, jax.random.randint(
+            self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max
+        )
+
     @nn.compact
     def __call__(self, hidden, attention_bias, segment_ids=None, deterministic=True):
         cfg = self.cfg
         B, L, H = hidden.shape
         nh, hd = cfg.num_attention_heads, cfg.head_dim
+        impl = _resolve_impl(cfg, L)
+
+        if impl == "pallas_block":
+            # fully-fused path: QKV + attention + output projection run
+            # inside one transpose-free kernel; the dense layers exist
+            # only as parameters (same tree as the nn.Dense branches)
+            from pl_bert_tpu.ops.attention_block import attention_block
+            from pl_bert_tpu.ops.fused_ln import (
+                dropout_add_layernorm, fused_supported,
+            )
+
+            wq, bq = _DenseParams(H, H, cfg.initializer_range, name="query")()
+            wk, bk = _DenseParams(H, H, cfg.initializer_range, name="key")()
+            wv, bv = _DenseParams(H, H, cfg.initializer_range, name="value")()
+            wo, bo = _DenseParams(H, H, cfg.initializer_range, name="dense")()
+            rate, seed = self._dropout_seed(deterministic)
+            out = attention_block(
+                hidden, wq, bq, wk, bk, wv, bv, wo, bo, nh,
+                bias=attention_bias, segment_ids=segment_ids,
+                out_dtype=cfg.dtype, dropout_rate=rate, dropout_seed=seed,
+            )
+            if fused_supported(B * L, H):
+                scale, bias_p = _LNParams(H, name="LayerNorm")()
+                rate, seed = self._dropout_seed(deterministic)
+                return dropout_add_layernorm(
+                    out, hidden, scale, bias_p, seed, rate, cfg.layer_norm_eps
+                )
+            out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+            return nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                param_dtype=jnp.float32, name="LayerNorm",
+            )(hidden + out)
 
         q = _dense(cfg, H, "query")(hidden).reshape(B, L, nh, hd)
         k = _dense(cfg, H, "key")(hidden).reshape(B, L, nh, hd)
         v = _dense(cfg, H, "value")(hidden).reshape(B, L, nh, hd)
 
-        from pl_bert_tpu.ops.attention import pallas_supported
-
-        impl = cfg.attention_impl
-        if impl != "xla":
-            # "auto" and explicit "pallas" both require kernel support;
-            # otherwise fall back to the XLA branch so attention-prob
-            # dropout still applies
-            impl = "pallas" if pallas_supported(L, hd) else "xla"
         if impl == "pallas":
             from pl_bert_tpu.ops.attention import fused_attention
 
             # HF-style attention-prob dropout, generated INSIDE the kernel
             # (the backward kernel regenerates the same mask from the seed)
-            rate, seed = 0.0, None
-            if not deterministic and cfg.dropout > 0.0:
-                rate = cfg.dropout
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max
-                )
+            rate, seed = self._dropout_seed(deterministic)
             ctx = fused_attention(
                 q, k, v, attention_bias, segment_ids, dtype=cfg.dtype,
                 dropout_rate=rate, dropout_seed=seed,
@@ -209,12 +282,7 @@ class AlbertSelfAttention(nn.Module):
 
         if impl == "pallas" and fused_supported(B * L, H):
             scale, bias_p = _LNParams(H, name="LayerNorm")()
-            rate, seed = 0.0, None
-            if not deterministic and cfg.dropout > 0.0:
-                rate = cfg.dropout
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max
-                )
+            rate, seed = self._dropout_seed(deterministic)
             out = dropout_add_layernorm(
                 out, hidden, scale, bias_p, seed, rate, cfg.layer_norm_eps
             )
@@ -245,12 +313,8 @@ class AlbertLayer(nn.Module):
         from pl_bert_tpu.ops.fused_ln import dropout_add_layernorm, fused_supported
 
         B, L, H = ffn.shape
-        impl = cfg.attention_impl
-        if impl == "auto":
-            from pl_bert_tpu.ops.attention import pallas_supported
-
-            impl = "pallas" if pallas_supported(L, cfg.head_dim) else "xla"
-        if impl == "pallas" and fused_supported(B * L, H):
+        impl = _resolve_impl(cfg, L)
+        if impl in ("pallas", "pallas_block") and fused_supported(B * L, H):
             scale, bias_p = _LNParams(H, name="full_layer_layer_norm")()
             rate, seed = 0.0, None
             if not deterministic and cfg.dropout > 0.0:

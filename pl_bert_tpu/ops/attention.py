@@ -46,6 +46,16 @@ def pallas_supported(seq_len: int, head_dim: int) -> bool:
     )
 
 
+def fused_block_supported(seq_len: int, num_heads: int, head_dim: int) -> bool:
+    """The fully-fused attention-block kernel (QKV + attention + output
+    projection, ops/attention_block.py) handles these shapes on TPU."""
+    if not (_on_tpu() and _kernel_available()):
+        return False
+    from pl_bert_tpu.ops.attention_block import block_supported
+
+    return block_supported(seq_len, num_heads, head_dim)
+
+
 def xla_attention(q, k, v, bias=None, segment_ids=None, dtype=jnp.bfloat16):
     """Reference einsum attention (fp32 softmax accumulation)."""
     head_dim = q.shape[-1]

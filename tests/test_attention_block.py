@@ -1,0 +1,157 @@
+"""Fused attention-block kernel (QKV + attention + out-proj) correctness
+(interpret mode on CPU) and model wiring parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from pl_bert_tpu.models.albert import attention_bias_from_mask
+from pl_bert_tpu.ops.attention import xla_attention
+from pl_bert_tpu.ops.attention_block import attention_block, block_supported
+
+B, L, E, H = 2, 128, 256, 4  # head_dim 64 → two 2-head groups
+
+
+def _inputs(seed=0, masked=False, segments=False):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((B, L, E)) * 0.5, jnp.float32)
+    ws = {
+        n: jnp.asarray(rng.standard_normal((E, E)) * 0.05, jnp.float32)
+        for n in "qkvo"
+    }
+    bs = {
+        n: jnp.asarray(rng.standard_normal(E) * 0.02, jnp.float32)
+        for n in "qkvo"
+    }
+    bias = None
+    if masked:
+        mask = np.ones((B, L), np.int32)
+        mask[0, 100:] = 0
+        bias = attention_bias_from_mask(jnp.asarray(mask))
+    seg = None
+    if segments:
+        seg_np = np.zeros((B, L), np.int32)
+        seg_np[:, L // 2 :] = 1
+        seg = jnp.asarray(seg_np)
+    return x, ws, bs, bias, seg
+
+
+def _reference(x, ws, bs, bias, seg):
+    D = E // H
+    q = (x @ ws["q"] + bs["q"]).reshape(B, L, H, D)
+    k = (x @ ws["k"] + bs["k"]).reshape(B, L, H, D)
+    v = (x @ ws["v"] + bs["v"]).reshape(B, L, H, D)
+    ctx = xla_attention(q, k, v, bias, segment_ids=seg, dtype=jnp.float32)
+    return ctx.reshape(B, L, E) @ ws["o"] + bs["o"]
+
+
+def _fused(x, ws, bs, bias, seg):
+    return attention_block(
+        x, ws["q"], bs["q"], ws["k"], bs["k"], ws["v"], bs["v"],
+        ws["o"], bs["o"], H, bias=bias, segment_ids=seg,
+        out_dtype=jnp.float32,
+    )
+
+
+def test_block_supported_gate():
+    assert block_supported(512, 12, 64)
+    assert block_supported(128, 4, 64)
+    assert not block_supported(512, 12, 32)  # head_dim below lane pairing
+    assert not block_supported(100, 12, 64)  # ragged sequence
+
+
+@pytest.mark.parametrize("masked,segments", [(False, False), (True, False), (False, True), (True, True)])
+def test_forward_matches_composition(masked, segments):
+    x, ws, bs, bias, seg = _inputs(masked=masked, segments=segments)
+    ref = _reference(x, ws, bs, bias, seg)
+    with pltpu.force_tpu_interpret_mode():
+        out = _fused(x, ws, bs, bias, seg)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4
+    )
+
+
+def test_backward_matches_composition():
+    x, ws, bs, bias, seg = _inputs(seed=1, masked=True)
+
+    def loss_ref(x, ws, bs):
+        o = _reference(x, ws, bs, bias, seg)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_fused(x, ws, bs):
+        o = _fused(x, ws, bs, bias, seg)
+        return jnp.sum(o * jnp.cos(o))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, ws, bs)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, ws, bs)
+
+    np.testing.assert_allclose(
+        np.asarray(g_fused[0]), np.asarray(g_ref[0]), atol=5e-4, rtol=2e-3,
+        err_msg="dx",
+    )
+    for n in "qkvo":
+        np.testing.assert_allclose(
+            np.asarray(g_fused[1][n]), np.asarray(g_ref[1][n]),
+            atol=5e-4, rtol=2e-3, err_msg=f"dw{n}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_fused[2][n]), np.asarray(g_ref[2][n]),
+            atol=5e-4, rtol=2e-3, err_msg=f"db{n}",
+        )
+
+
+def test_fully_masked_rows_finite():
+    x, ws, bs, _, _ = _inputs(seed=2)
+    mask = np.zeros((B, L), np.int32)
+    mask[1, :] = 1
+    bias = attention_bias_from_mask(jnp.asarray(mask))
+    with pltpu.force_tpu_interpret_mode():
+        out = _fused(x, ws, bs, bias, None)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_model_pallas_block_wiring(monkeypatch):
+    """The pallas_block model branch (params via _DenseParams, fused
+    kernel) must produce the same forward as the XLA branch from the SAME
+    parameter tree — catches any q/k/v/dense wiring or param-tree
+    mismatch."""
+    from pl_bert_tpu.config import ModelParams
+    from pl_bert_tpu.models import albert
+    from pl_bert_tpu.models.albert import build_model, init_params
+    from pl_bert_tpu.ops import attention as attn_mod
+
+    mp = ModelParams(
+        hidden_size=256, num_attention_heads=4, intermediate_size=512,
+        max_position_embeddings=128, num_hidden_layers=2, embedding_size=64,
+        dropout=0.0, attention_impl="xla",
+    )
+    model_xla = build_model(mp, mixed_precision="fp32")
+    params = init_params(model_xla, max_seq_length=128, seed=0)
+
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 188, (2, 128)), jnp.int32
+    )
+    mask = np.ones((2, 128), np.int32)
+    mask[0, 90:] = 0
+    mask = jnp.asarray(mask)
+    ref = model_xla.apply({"params": params}, ids, mask, deterministic=True)
+
+    import dataclasses
+
+    mp_block = dataclasses.replace(mp, attention_impl="pallas_block")
+    model_block = build_model(mp_block, mixed_precision="fp32")
+    # interpret mode on CPU: override the on-TPU gate (fused LN stays
+    # gated off; it has its own interpret tests)
+    monkeypatch.setattr(
+        attn_mod, "fused_block_supported", lambda L, H, D: True
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = model_block.apply(
+            {"params": params}, ids, mask, deterministic=True
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-3
+    )
