@@ -14,6 +14,41 @@ from typing import Iterator
 import numpy as np
 
 
+def pack_token_batch(
+    samples: list[list[str]],
+    token_lists: list[list[int]],
+    max_len: int,
+    separator: int,
+    offsets: np.ndarray | None = None,
+) -> np.ndarray:
+    """Per-phoneme grapheme token ids for the packed layout.
+
+    Mirrors the reference's token expansion (reference:
+    dataloader.py:66-68: each word's token id repeated once per phoneme,
+    ``word_separator`` at every separator position), laid out over the
+    same char stream the packer builds, with the same per-sample crop
+    ``offsets``. Padding positions are 0 (the loss only reads token ids
+    at mask positions, which are never separators or padding).
+    """
+    b = len(samples)
+    out = np.zeros((b, max_len), np.int32)
+    if offsets is None:
+        offsets = np.zeros(b, np.int64)
+    for i, (words, tids) in enumerate(zip(samples, token_lists)):
+        if not words:
+            continue
+        lens = np.fromiter((len(w) for w in words), np.int64, len(words))
+        total = int(lens.sum()) + len(lens)
+        stream = np.full(total, separator, np.int32)
+        ends = np.cumsum(lens + 1)
+        char = np.ones(total, bool)
+        char[ends - 1] = False
+        stream[char] = np.repeat(np.asarray(tids, np.int32), lens)
+        win = stream[int(offsets[i]) : int(offsets[i]) + max_len]
+        out[i, : len(win)] = win
+    return out
+
+
 class _PackedBase:
     """Shared deterministic batching over precomputed row arrays.
 
@@ -59,11 +94,15 @@ class PackedPhonemeDataset(_PackedBase):
     __getitem__, dataloader.py:110-126), via a cheap native re-pack of
     just the long samples keyed by (seed, epoch)."""
 
-    def __init__(self, dataset, max_seq_length: int = 512, seed: int = 1) -> None:
+    def __init__(
+        self, dataset, max_seq_length: int = 512, seed: int = 1,
+        token_separator: int = 87,
+    ) -> None:
         from pl_bert_tpu.runtime import pack_batch_native
 
         self.max_seq_length = max_seq_length
         self.seed = seed
+        self.token_separator = token_separator
         samples = [dataset[i]["phonemes"] for i in range(len(dataset))]
         # one native C pass over the whole corpus (falls back to numpy)
         self.label_ids, self.word_ids, self.lengths = pack_batch_native(
@@ -78,6 +117,15 @@ class PackedPhonemeDataset(_PackedBase):
         self._long_samples = [samples[i] for i in self._long_idx]
         self._long_full_lens = full_lens[self._long_idx]
         self._crop_epoch = 0  # epoch the current windows belong to
+
+        # multi-task: per-phoneme grapheme token ids alongside the labels
+        self.has_tokens = len(dataset) > 0 and "token_ids" in dataset[0]
+        if self.has_tokens:
+            token_lists = [dataset[i]["token_ids"] for i in range(len(dataset))]
+            self.token_ids = pack_token_batch(
+                samples, token_lists, max_seq_length, token_separator
+            )
+            self._long_tokens = [token_lists[i] for i in self._long_idx]
 
     def _recrop(self, epoch: int) -> None:
         # epoch 0 = the deterministic head-crop state from __init__ (used
@@ -99,6 +147,11 @@ class PackedPhonemeDataset(_PackedBase):
         self.label_ids[self._long_idx] = labels
         self.word_ids[self._long_idx] = words
         self.lengths[self._long_idx] = lengths
+        if self.has_tokens:
+            self.token_ids[self._long_idx] = pack_token_batch(
+                self._long_samples, self._long_tokens, self.max_seq_length,
+                self.token_separator, offsets,
+            )
         self._crop_epoch = epoch
 
     def batches(self, batch_size, epoch, seed=1, shuffle=True, drop_last=True,
@@ -109,11 +162,14 @@ class PackedPhonemeDataset(_PackedBase):
         )
 
     def batch(self, indices: np.ndarray) -> dict:
-        return {
+        out = {
             "label_ids": self.label_ids[indices],
             "word_ids": self.word_ids[indices],
             "lengths": self.lengths[indices],
         }
+        if self.has_tokens:
+            out["token_ids"] = self.token_ids[indices]
+        return out
 
 
 class PackedSequenceDataset(_PackedBase):
@@ -131,12 +187,19 @@ class PackedSequenceDataset(_PackedBase):
     per original sample — a documented divergence.
     """
 
-    def __init__(self, dataset, max_seq_length: int = 512) -> None:
+    def __init__(
+        self, dataset, max_seq_length: int = 512, token_separator: int = 87,
+    ) -> None:
         from pl_bert_tpu.runtime import pack_batch_native
 
         self.max_seq_length = L = max_seq_length
         samples = [dataset[i]["phonemes"] for i in range(len(dataset))]
         ids, wids, lens = pack_batch_native(samples, L)
+        self.has_tokens = len(dataset) > 0 and "token_ids" in dataset[0]
+        toks = None
+        if self.has_tokens:
+            token_lists = [dataset[i]["token_ids"] for i in range(len(dataset))]
+            toks = pack_token_batch(samples, token_lists, L, token_separator)
 
         order = np.argsort(lens)[::-1]  # first-fit decreasing
         bins: list[list[int]] = []
@@ -160,6 +223,8 @@ class PackedSequenceDataset(_PackedBase):
         self.segment_ids = np.full((rows, L), -1, np.int32)
         self.position_ids = np.zeros((rows, L), np.int32)
         self.lengths = np.zeros(rows, np.int32)
+        if self.has_tokens:
+            self.token_ids = np.zeros((rows, L), np.int32)
         for r, members in enumerate(bins):
             pos = 0
             word_offset = 0
@@ -167,6 +232,8 @@ class PackedSequenceDataset(_PackedBase):
                 n = int(lens[idx])
                 sl = slice(pos, pos + n)
                 self.label_ids[r, sl] = ids[idx, :n]
+                if self.has_tokens:
+                    self.token_ids[r, sl] = toks[idx, :n]
                 w = wids[idx, :n]
                 self.word_ids[r, sl] = np.where(w >= 0, w + word_offset, -1)
                 self.segment_ids[r, sl] = seg
@@ -180,10 +247,13 @@ class PackedSequenceDataset(_PackedBase):
         return float(self.lengths.sum()) / (len(self) * self.max_seq_length)
 
     def batch(self, indices: np.ndarray) -> dict:
-        return {
+        out = {
             "label_ids": self.label_ids[indices],
             "word_ids": self.word_ids[indices],
             "segment_ids": self.segment_ids[indices],
             "position_ids": self.position_ids[indices],
             "lengths": self.lengths[indices],
         }
+        if self.has_tokens:
+            out["token_ids"] = self.token_ids[indices]
+        return out

@@ -164,11 +164,6 @@ class Trainer:
             dataset = load_training_dataset(tp.training_dataset, tp.split)
         self.ondevice_masking = dp.ondevice_masking
         self.masking_params = None
-        if self.ondevice_masking and self.use_token_ids:
-            raise NotImplementedError(
-                "ondevice_masking does not carry grapheme token_ids yet; "
-                "use the host masking path for the multi-task model"
-            )
         if dp.sequence_packing and not dp.ondevice_masking:
             raise ValueError("sequence_packing requires ondevice_masking")
         if self.ondevice_masking:
@@ -190,10 +185,19 @@ class Trainer:
                 PackedSequenceDataset if dp.sequence_packing
                 else PackedPhonemeDataset
             )
-            kwargs = (
-                {} if dp.sequence_packing else {"seed": tp.seed}
-            )  # FFD packing is deterministic; crop RNG keys off the seed
+            # FFD packing is deterministic; crop RNG keys off the seed.
+            # token_separator: the grapheme label id at separator
+            # positions (reference: dataloader.py:67-68)
+            kwargs = {"token_separator": dp.word_separator}
+            if not dp.sequence_packing:
+                kwargs["seed"] = tp.seed
             self.packed = packed_cls(dataset, dp.max_seq_length, **kwargs)
+            if self.use_token_ids and not self.packed.has_tokens:
+                raise ValueError(
+                    "multi-task training with ondevice_masking needs "
+                    "'token_ids' in every dataset row (per-word grapheme "
+                    "ids, reference: dataloader.py:40)"
+                )
             if dp.sequence_packing and is_main_process():
                 print(
                     f"sequence packing: {len(dataset)} samples → "

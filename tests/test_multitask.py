@@ -74,3 +74,131 @@ def test_multitask_training_end_to_end(tmp_path):
 
     val_loss, val_acc = trainer.validate()
     assert val_loss > 0
+
+
+# ---- multi-task THROUGH on-device masking (VERDICT r1 item 4) ----
+# The reference's main path carries per-word token_ids expanded to
+# per-phoneme grapheme labels (reference: dataloader.py:40, 66-68); the
+# packed on-device layout must carry the identical expansion.
+
+
+def test_packed_token_ids_match_host_expansion():
+    from pl_bert_tpu.data.masking import MaskingParams, WholeWordMasker
+    from pl_bert_tpu.data.packed import PackedPhonemeDataset
+
+    data = _corpus(n=6, seed=3)
+    L = 64
+    packed = PackedPhonemeDataset(data, L, seed=1, token_separator=87)
+    assert packed.has_tokens
+    masker = WholeWordMasker(MaskingParams(max_seq_length=L, word_separator=87))
+    for i, row in enumerate(data):
+        if sum(len(w) + 1 for w in row["phonemes"]) > L:
+            continue  # host applies its own random crop for long samples
+        host = masker(row["phonemes"], epoch=1, index=i,
+                      token_ids=row["token_ids"])
+        n = len(host.token_ids)
+        np.testing.assert_array_equal(packed.token_ids[i, :n], host.token_ids)
+        assert (packed.token_ids[i, n:] == 0).all()
+
+
+def test_packed_token_ids_track_recrop_offsets():
+    """After a per-epoch re-crop of long samples, token rows must stay
+    aligned with the label/word rows at the new window."""
+    from pl_bert_tpu.data.packed import PackedPhonemeDataset
+
+    rng = np.random.default_rng(0)
+    alphabet = list("ɑɐɒæbtkmnlsʃθð")
+    data = []
+    for _ in range(4):
+        k = 60  # long: ~60 words x ~5 chars >> L=64
+        words = ["".join(rng.choice(alphabet, size=5)) for _ in range(k)]
+        # token id == word index, so alignment is directly checkable
+        data.append({"phonemes": words, "token_ids": list(range(k))})
+    L = 64
+    packed = PackedPhonemeDataset(data, L, seed=1, token_separator=87)
+    for epoch in (1, 2):
+        next(iter(packed.batches(2, epoch=epoch)))  # triggers recrop
+        for i in range(len(data)):
+            wids = packed.word_ids[i]
+            toks = packed.token_ids[i]
+            n = int(packed.lengths[i])
+            chars = (wids[:n] >= 0).nonzero()[0]
+            base = toks[chars[0]] - wids[chars[0]]
+            np.testing.assert_array_equal(
+                toks[chars], wids[chars] + base,
+                err_msg=f"epoch {epoch} sample {i}: token/word misalignment",
+            )
+            seps = (wids[:n] == -1).nonzero()[0]
+            assert (toks[seps] == 87).all()
+
+
+def _mt_ondevice_config(tmp_path, **dataset_extra):
+    raw = {
+        "training_params": {
+            "output_dir": str(tmp_path / "ckpt"),
+            "batch_size": 8,
+            "save_interval": 100,
+            "log_interval": 2,
+            "num_steps": 4,
+            "learning_rate": 1e-3,
+            "training_dataset": "synthetic:48",
+            "mixed_precision": "fp32",
+        },
+        "dataset_params": {
+            "max_seq_length": 64,
+            "word_separator": 87,
+            "ondevice_masking": True,
+            **dataset_extra,
+        },
+        "model_params": {
+            "hidden_size": 64,
+            "num_attention_heads": 4,
+            "intermediate_size": 128,
+            "max_position_embeddings": 64,
+            "num_hidden_layers": 2,
+            "embedding_size": 32,
+            "attention_impl": "xla",
+            "num_token_vocab": 100,
+        },
+    }
+    return Config.from_dict(raw)
+
+
+def test_multitask_ondevice_masking_end_to_end(tmp_path):
+    config = _mt_ondevice_config(tmp_path)
+    trainer = Trainer(config, str(tmp_path / "run"), False, dataset=_corpus())
+    assert trainer.use_token_ids and trainer.ondevice_masking
+    losses = []
+    for i, batch in enumerate(trainer._train_batches(epoch=1)):
+        trainer.state, m = trainer.train_step(
+            trainer.state, trainer._put(batch), trainer.base_rng
+        )
+        assert float(m["token_loss"]) > 0
+        assert float(m["phoneme_loss"]) > 0
+        losses.append(float(m["loss"]))
+        if i == 5:
+            break
+    assert losses[-1] < losses[0]
+    val_loss, val_acc = trainer.validate()
+    assert val_loss > 0
+
+
+def test_multitask_sequence_packing_end_to_end(tmp_path):
+    config = _mt_ondevice_config(tmp_path, sequence_packing=True)
+    trainer = Trainer(config, str(tmp_path / "run"), False, dataset=_corpus())
+    assert trainer.packed.has_tokens
+    batch = next(iter(trainer._train_batches(epoch=1)))
+    assert "token_ids" in batch and "segment_ids" in batch
+    trainer.state, m = trainer.train_step(
+        trainer.state, trainer._put(batch), trainer.base_rng
+    )
+    assert float(m["token_loss"]) > 0
+
+
+def test_multitask_ondevice_requires_token_ids(tmp_path):
+    import pytest
+
+    config = _mt_ondevice_config(tmp_path)
+    data = [{"phonemes": r["phonemes"]} for r in _corpus()]  # no token_ids
+    with pytest.raises(ValueError, match="token_ids"):
+        Trainer(config, str(tmp_path / "run"), False, dataset=data)
