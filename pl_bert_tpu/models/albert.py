@@ -48,10 +48,17 @@ class AlbertConfig:
     attention_impl: str = "auto"  # auto | xla | pallas
     dtype: Any = jnp.float32  # compute dtype (params stay fp32)
     remat: bool = False
+    # device mesh for multi-chip runs: when set (size > 1), the Pallas
+    # kernels are invoked through the shard_map wrappers in parallel/tp.py
+    # (GSPMD cannot partition a pallas_call); None/size-1 = direct calls
+    mesh: Any = None
 
     @classmethod
-    def from_params(cls, p: ModelParams, dtype=jnp.float32, remat: bool = False):
+    def from_params(
+        cls, p: ModelParams, dtype=jnp.float32, remat: bool = False, mesh=None,
+    ):
         return cls(
+            mesh=mesh,
             vocab_size=p.vocab_size,
             embedding_size=p.embedding_size,
             hidden_size=p.hidden_size,
@@ -71,6 +78,22 @@ class AlbertConfig:
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def tp_size(self) -> int:
+        """Model-axis size (1 = no tensor parallelism)."""
+        from pl_bert_tpu.parallel.mesh import MODEL_AXIS
+
+        if self.mesh is None:
+            return 1
+        return int(self.mesh.shape.get(MODEL_AXIS, 1))
+
+    @property
+    def use_shard_map(self) -> bool:
+        """Pallas kernels must go through shard_map on any multi-device
+        mesh — GSPMD treats a pallas_call as an opaque (unpartitionable)
+        custom call on both the data and the model axis."""
+        return self.mesh is not None and int(self.mesh.size) > 1
 
 
 def _act(name: str):
@@ -122,23 +145,58 @@ def _resolve_impl(cfg: AlbertConfig, seq_len: int) -> str:
     "auto" prefers the fully-fused block kernel (QKV + attention +
     output projection, transpose-free), then the per-head flash kernel,
     then XLA einsum attention. Explicit values force a path (with a
-    fallback to XLA off-TPU so CPU tests exercise model semantics)."""
+    fallback to XLA off-TPU so CPU tests exercise model semantics).
+
+    Under tensor parallelism the kernels run per model shard
+    (parallel/tp.py), so the support checks use the LOCAL head count;
+    a head count that doesn't divide the model axis falls back to XLA
+    einsum attention, which GSPMD partitions itself."""
     from pl_bert_tpu.ops.attention import fused_block_supported, pallas_supported
 
     impl = cfg.attention_impl
     if impl == "xla":
         return impl
+    m = cfg.tp_size
+    if cfg.num_attention_heads % m:
+        return "xla"
+    local_heads = cfg.num_attention_heads // m
     if impl == "pallas_block":
         return impl if fused_block_supported(
-            seq_len, cfg.num_attention_heads, cfg.head_dim
+            seq_len, local_heads, cfg.head_dim
         ) else "xla"
     if impl == "pallas":
         return impl if pallas_supported(seq_len, cfg.head_dim) else "xla"
-    if fused_block_supported(seq_len, cfg.num_attention_heads, cfg.head_dim):
+    if fused_block_supported(seq_len, local_heads, cfg.head_dim):
         return "pallas_block"
     if pallas_supported(seq_len, cfg.head_dim):
         return "pallas"
     return "xla"
+
+
+def _local_rows(cfg: AlbertConfig, B: int, L: int) -> int:
+    """Rows the fused-LN kernel sees per device (shard_map slices the
+    batch over the data axis)."""
+    if cfg.mesh is None:
+        return B * L
+    from pl_bert_tpu.parallel.mesh import DATA_AXIS
+
+    return (B // int(cfg.mesh.shape.get(DATA_AXIS, 1))) * L
+
+
+def _dispatch_dropout_add_ln(cfg, x, residual, scale, bias, seed, rate):
+    """Fused dropout+add+LN: direct kernel single-device, shard_map on a
+    multi-device mesh."""
+    from pl_bert_tpu.ops.fused_ln import dropout_add_layernorm
+
+    if cfg.use_shard_map:
+        from pl_bert_tpu.parallel.tp import tp_dropout_add_layernorm
+
+        return tp_dropout_add_layernorm(
+            cfg.mesh, x, residual, scale, bias, seed, rate, cfg.layer_norm_eps
+        )
+    return dropout_add_layernorm(
+        x, residual, scale, bias, seed, rate, cfg.layer_norm_eps
+    )
 
 
 def _dense(cfg: AlbertConfig, features: int, name: str) -> nn.Dense:
@@ -218,25 +276,32 @@ class AlbertSelfAttention(nn.Module):
             # inside one transpose-free kernel; the dense layers exist
             # only as parameters (same tree as the nn.Dense branches)
             from pl_bert_tpu.ops.attention_block import attention_block
-            from pl_bert_tpu.ops.fused_ln import (
-                dropout_add_layernorm, fused_supported,
-            )
+            from pl_bert_tpu.ops.fused_ln import fused_supported
 
             wq, bq = _DenseParams(H, H, cfg.initializer_range, name="query")()
             wk, bk = _DenseParams(H, H, cfg.initializer_range, name="key")()
             wv, bv = _DenseParams(H, H, cfg.initializer_range, name="value")()
             wo, bo = _DenseParams(H, H, cfg.initializer_range, name="dense")()
             rate, seed = self._dropout_seed(deterministic)
-            out = attention_block(
-                hidden, wq, bq, wk, bk, wv, bv, wo, bo, nh,
-                bias=attention_bias, segment_ids=segment_ids,
-                out_dtype=cfg.dtype, dropout_rate=rate, dropout_seed=seed,
-            )
-            if fused_supported(B * L, H):
+            if cfg.use_shard_map:
+                from pl_bert_tpu.parallel.tp import tp_attention_block
+
+                out = tp_attention_block(
+                    cfg.mesh, hidden, wq, bq, wk, bk, wv, bv, wo, bo, nh,
+                    bias=attention_bias, segment_ids=segment_ids,
+                    out_dtype=cfg.dtype, dropout_rate=rate, dropout_seed=seed,
+                )
+            else:
+                out = attention_block(
+                    hidden, wq, bq, wk, bk, wv, bv, wo, bo, nh,
+                    bias=attention_bias, segment_ids=segment_ids,
+                    out_dtype=cfg.dtype, dropout_rate=rate, dropout_seed=seed,
+                )
+            if fused_supported(_local_rows(cfg, B, L), H):
                 scale, bias_p = _LNParams(H, name="LayerNorm")()
                 rate, seed = self._dropout_seed(deterministic)
-                return dropout_add_layernorm(
-                    out, hidden, scale, bias_p, seed, rate, cfg.layer_norm_eps
+                return _dispatch_dropout_add_ln(
+                    cfg, out, hidden, scale, bias_p, seed, rate
                 )
             out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
             return nn.LayerNorm(
@@ -249,15 +314,23 @@ class AlbertSelfAttention(nn.Module):
         v = _dense(cfg, H, "value")(hidden).reshape(B, L, nh, hd)
 
         if impl == "pallas":
-            from pl_bert_tpu.ops.attention import fused_attention
-
             # HF-style attention-prob dropout, generated INSIDE the kernel
             # (the backward kernel regenerates the same mask from the seed)
             rate, seed = self._dropout_seed(deterministic)
-            ctx = fused_attention(
-                q, k, v, attention_bias, segment_ids, dtype=cfg.dtype,
-                dropout_rate=rate, dropout_seed=seed,
-            )
+            if cfg.use_shard_map:
+                from pl_bert_tpu.parallel.tp import tp_flash_attention
+
+                ctx = tp_flash_attention(
+                    cfg.mesh, q, k, v, attention_bias, segment_ids,
+                    out_dtype=cfg.dtype, dropout_rate=rate, dropout_seed=seed,
+                )
+            else:
+                from pl_bert_tpu.ops.attention import fused_attention
+
+                ctx = fused_attention(
+                    q, k, v, attention_bias, segment_ids, dtype=cfg.dtype,
+                    dropout_rate=rate, dropout_seed=seed,
+                )
         else:
             scores = jnp.einsum(
                 "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
@@ -278,13 +351,13 @@ class AlbertSelfAttention(nn.Module):
             ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
 
         out = _dense(cfg, H, "dense")(ctx.reshape(B, L, H))
-        from pl_bert_tpu.ops.fused_ln import dropout_add_layernorm, fused_supported
+        from pl_bert_tpu.ops.fused_ln import fused_supported
 
-        if impl == "pallas" and fused_supported(B * L, H):
+        if impl == "pallas" and fused_supported(_local_rows(cfg, B, L), H):
             scale, bias_p = _LNParams(H, name="LayerNorm")()
             rate, seed = self._dropout_seed(deterministic)
-            out = dropout_add_layernorm(
-                out, hidden, scale, bias_p, seed, rate, cfg.layer_norm_eps
+            out = _dispatch_dropout_add_ln(
+                cfg, out, hidden, scale, bias_p, seed, rate
             )
         else:
             out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
@@ -310,11 +383,13 @@ class AlbertLayer(nn.Module):
         ffn = _act(cfg.hidden_act)(ffn)
         ffn = _dense(cfg, cfg.hidden_size, "ffn_output")(ffn)
 
-        from pl_bert_tpu.ops.fused_ln import dropout_add_layernorm, fused_supported
+        from pl_bert_tpu.ops.fused_ln import fused_supported
 
         B, L, H = ffn.shape
         impl = _resolve_impl(cfg, L)
-        if impl in ("pallas", "pallas_block") and fused_supported(B * L, H):
+        if impl in ("pallas", "pallas_block") and fused_supported(
+            _local_rows(cfg, B, L), H
+        ):
             scale, bias_p = _LNParams(H, name="full_layer_layer_norm")()
             rate, seed = 0.0, None
             if not deterministic and cfg.dropout > 0.0:
@@ -322,8 +397,8 @@ class AlbertLayer(nn.Module):
                 seed = jax.random.randint(
                     self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max
                 )
-            return dropout_add_layernorm(
-                ffn, attn_out, scale, bias_p, seed, rate, cfg.layer_norm_eps
+            return _dispatch_dropout_add_ln(
+                cfg, ffn, attn_out, scale, bias_p, seed, rate
             )
         ffn = nn.Dropout(cfg.dropout)(ffn, deterministic=deterministic)
         return nn.LayerNorm(
@@ -438,13 +513,15 @@ class MultiTaskModel(nn.Module):
 
 
 def build_model(
-    params: ModelParams, mixed_precision: str = "bf16", remat: bool = False
+    params: ModelParams, mixed_precision: str = "bf16", remat: bool = False,
+    mesh=None,
 ):
     """Model factory mirroring the reference's initialize_model
     (reference: train.py:261-272): phoneme-only unless a token vocab is
-    configured."""
+    configured. ``mesh``: device mesh for multi-chip runs (routes the
+    Pallas kernels through parallel/tp.py's shard_map wrappers)."""
     dtype = jnp.bfloat16 if mixed_precision in ("bf16", "fp16") else jnp.float32
-    cfg = AlbertConfig.from_params(params, dtype=dtype, remat=remat)
+    cfg = AlbertConfig.from_params(params, dtype=dtype, remat=remat, mesh=mesh)
     if params.num_token_vocab > 0:
         return MultiTaskModel(cfg, params.vocab_size, params.num_token_vocab)
     return PhonemeOnlyModel(cfg, params.vocab_size)
@@ -463,6 +540,9 @@ def param_count(params) -> int:
 
 
 def config_dict(cfg: AlbertConfig) -> dict:
+    if cfg.mesh is not None:  # a Mesh is not serializable state
+        cfg = dataclasses.replace(cfg, mesh=None)
     d = dataclasses.asdict(cfg)
+    d.pop("mesh", None)
     d["dtype"] = str(cfg.dtype.__name__ if hasattr(cfg.dtype, "__name__") else cfg.dtype)
     return d

@@ -284,17 +284,21 @@ def _block_fwd(
     out_dtype, use_segments, rate, heads,
 ):
     B, L, E = hidden.shape
-    G = E // _LANES
+    # projection width P may be narrower than E (tensor parallelism:
+    # each model shard holds a column slice of wq/wk/wv and the matching
+    # row slice of wo — parallel/tp.py psums the partial outputs)
+    P = wq.shape[1]
+    G = P // _LANES
     scale = 1.0 / ((_LANES // heads) ** 0.5)
     cdt = hidden.dtype
     wq_c, wk_c, wv_c, wo_c = (w.astype(cdt) for w in (wq, wk, wv, wo))
-    bq_r = bq.reshape(1, E).astype(jnp.float32)
-    bk_r = bk.reshape(1, E).astype(jnp.float32)
-    bv_r = bv.reshape(1, E).astype(jnp.float32)
+    bq_r = bq.reshape(1, P).astype(jnp.float32)
+    bk_r = bk.reshape(1, P).astype(jnp.float32)
+    bv_r = bv.reshape(1, P).astype(jnp.float32)
     bo_r = bo.reshape(1, E).astype(jnp.float32)
 
     x, w_in, b_in, w_out, b_out, row, seed_s, md_s, group = _specs(B, L, E)
-    act = jax.ShapeDtypeStruct((B, L, E), cdt)
+    act = jax.ShapeDtypeStruct((B, L, P), cdt)
     out, md, q2s, k2s, v2s, o2s = pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, use_segments=use_segments, rate=rate,
@@ -314,8 +318,8 @@ def _block_fwd(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * L * E * (4 * E + 2 * L),
-            bytes_accessed=B * L * E * 4 + B * E * E * 8,
+            flops=2 * B * L * P * (4 * E + 2 * L),
+            bytes_accessed=B * L * E * 4 + B * E * P * 8,
             transcendentals=B * G * heads * L * L,
         ),
     )(
@@ -333,7 +337,8 @@ def _block_bwd(out_dtype, use_segments, rate, heads, residuals, g):
     (hidden, wq_c, wk_c, wv_c, wo_c,
      bias_row, seg_row, seed, md, q2s, k2s, v2s, o2) = residuals
     B, L, E = hidden.shape
-    G = E // _LANES
+    P = wq_c.shape[1]
+    G = P // _LANES
     scale = 1.0 / ((_LANES // heads) ** 0.5)
     cdt = hidden.dtype
     dout = g.astype(cdt)
@@ -350,17 +355,17 @@ def _block_bwd(out_dtype, use_segments, rate, heads, residuals, g):
         out_specs=[x, group, group, group],
         out_shape=[
             jax.ShapeDtypeStruct((B, L, E), cdt),
-            jax.ShapeDtypeStruct((B, L, E), cdt),
-            jax.ShapeDtypeStruct((B, L, E), cdt),
-            jax.ShapeDtypeStruct((B, L, E), cdt),
+            jax.ShapeDtypeStruct((B, L, P), cdt),
+            jax.ShapeDtypeStruct((B, L, P), cdt),
+            jax.ShapeDtypeStruct((B, L, P), cdt),
         ],
         scratch_shapes=[pltpu.VMEM((L, E), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * L * E * (7 * E + 5 * L),
-            bytes_accessed=B * L * E * 16 + B * E * E * 8,
+            flops=2 * B * L * P * (7 * E + 5 * L),
+            bytes_accessed=B * L * E * 16 + B * E * P * 8,
             transcendentals=B * G * heads * L * L,
         ),
     )(
@@ -394,15 +399,19 @@ def attention_block(
 ):
     """Fused multi-head self-attention block.
 
-    ``hidden``: [B, L, E]; ``wq/wk/wv/wo``: [E, E] (fp32 params);
-    ``bq/bk/bv/bo``: [E]. ``bias`` is the additive [B, 1, 1, L] padding
-    bias (or None); ``segment_ids`` ([B, L] or None) makes attention
-    block-diagonal across packed segments. Returns
-    LayerNorm-less ``dense(attn(x))`` output, [B, L, E] in ``out_dtype``
-    (residual add + dropout + LN happen outside).
+    ``hidden``: [B, L, E]; ``wq/wk/wv``: [E, P], ``wo``: [P, E]
+    (fp32 params); ``bq/bk/bv``: [P], ``bo``: [E]. P = E in the
+    single-shard case; under tensor parallelism each model shard passes
+    its local column/row slices (P = E / model_axis, ``num_heads`` =
+    local head count) and psums the outputs (parallel/tp.py). ``bias``
+    is the additive [B, 1, 1, L] padding bias (or None);
+    ``segment_ids`` ([B, L] or None) makes attention block-diagonal
+    across packed segments. Returns LayerNorm-less ``dense(attn(x))``
+    output, [B, L, E] in ``out_dtype`` (residual add + dropout + LN
+    happen outside).
     """
     B, L, E = hidden.shape
-    head_dim = E // num_heads
+    head_dim = wq.shape[1] // num_heads
     if not block_supported(L, num_heads, head_dim):
         raise ValueError(
             f"unsupported fused-block shape: L={L} H={num_heads} D={head_dim}"

@@ -144,19 +144,12 @@ class Trainer:
                 f"batch_size {tp.batch_size} must be divisible by the data "
                 f"axis size {data_size}"
             )
-        if tp.model_axis > 1 and mp.attention_impl in ("auto", "pallas"):
-            # the Pallas kernel is not shard_map-wrapped yet, so GSPMD
-            # cannot partition it over the tensor axis — use XLA attention
-            # under TP (it partitions cleanly along heads)
-            import dataclasses as _dc
-
-            mp = _dc.replace(mp, attention_impl="xla")
-            if is_main_process():
-                print(
-                    "model_axis > 1: using XLA attention (Pallas kernel is "
-                    "single-shard for now)"
-                )
-        self.model = build_model(mp, tp.mixed_precision, remat=tp.remat)
+        # the Pallas kernels run through parallel/tp.py's shard_map
+        # wrappers on any multi-device mesh (incl. model_axis > 1 tensor
+        # parallelism); on a 1-device mesh they are called directly
+        self.model = build_model(
+            mp, tp.mixed_precision, remat=tp.remat, mesh=self.mesh
+        )
         self.tx = make_optimizer(tp)
         self.use_token_ids = mp.num_token_vocab > 0
 
