@@ -19,6 +19,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 import traceback
 
@@ -87,14 +89,78 @@ def launch(
             time.sleep(restart_delay)
 
 
+def launch_subprocess(
+    args: dict,
+    max_restarts: int = 100,
+    restart_delay: float = 10.0,
+    env: dict | None = None,
+) -> int:
+    """Supervised training with WHOLE-PROCESS restarts.
+
+    Matches the reference's Modal semantics (a preempted run comes back
+    in a fresh container, reference: modal_main.py:40-47): each attempt
+    is a new ``python -m pl_bert_tpu.training.train`` process, so a
+    wedged TPU runtime / poisoned jax client from the failed attempt
+    cannot leak into the retry (unlike :func:`launch`, which retries
+    in-process). Auto-resume from the latest ``step_N`` checkpoint is
+    the trainer's own behavior.
+
+    The child's pid is written to ``<run_dir>/launcher_child.pid`` for
+    external supervision (and for the kill-mid-run test).
+    Returns the final child's exit code (0 on success).
+    """
+    from pl_bert_tpu.config import Config
+
+    config = Config.load(args["config_path"])
+    run_dir = os.path.join(config.training_params.output_dir, args["run_name"])
+    os.makedirs(run_dir, exist_ok=True)
+    tracker = RestartTracker(os.path.join(run_dir, "restart_tracker.json"))
+    pid_path = os.path.join(run_dir, "launcher_child.pid")
+
+    attempts = 0
+    while True:
+        tracker.track()
+        cmd = [
+            sys.executable, "-m", "pl_bert_tpu.training.train",
+            "--config_path", args["config_path"],
+            "--run_name", args["run_name"],
+        ]
+        proc = subprocess.Popen(cmd, env=env if env is not None else None)
+        with open(pid_path, "w") as f:
+            f.write(str(proc.pid))
+        rc = proc.wait()
+        if rc == 0:
+            return 0
+        attempts += 1
+        if attempts > max_restarts:
+            raise RuntimeError(
+                f"training child kept failing (rc={rc}) after "
+                f"{max_restarts} restarts"
+            )
+        print(
+            f"Training child exited rc={rc} (attempt {attempts}); "
+            f"relaunching in {restart_delay}s (auto-resume from latest "
+            f"step_N)",
+            flush=True,
+        )
+        time.sleep(restart_delay)
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="Elastic PL-BERT training launch")
     parser.add_argument("--config_path", type=str, default="configs/config.yml")
     parser.add_argument("--run_name", type=str, default="default")
     parser.add_argument("--max_restarts", type=int, default=100)
     parser.add_argument("--restart_delay", type=float, default=10.0)
+    parser.add_argument(
+        "--in_process", action="store_true",
+        help="retry inside this process instead of relaunching a child "
+        "(subprocess relaunch is the default: it matches the reference's "
+        "fresh-container-per-preemption semantics)",
+    )
     a = parser.parse_args(argv)
-    launch(
+    launcher = launch if a.in_process else launch_subprocess
+    launcher(
         {"config_path": a.config_path, "run_name": a.run_name},
         max_restarts=a.max_restarts,
         restart_delay=a.restart_delay,

@@ -325,6 +325,23 @@ class Trainer:
             return 0.0, 0.0
         return float(np.mean(losses)), float(np.mean(accs))
 
+    def _maybe_inject_fault(self) -> None:
+        """Fault injection for elasticity testing (the reference has
+        none, SURVEY §5): with PLBERT_CRASH_AT_STEP=N set, the process
+        hard-exits (rc 17, simulating a preemption) the first time step
+        N completes — once per run dir, so the relaunched process
+        resumes past it."""
+        crash_at = int(os.environ.get("PLBERT_CRASH_AT_STEP", "0") or 0)
+        if not crash_at or self.current_step != crash_at:
+            return
+        marker = os.path.join(self.log_dir, ".crash_injected")
+        if os.path.exists(marker):
+            return
+        with open(marker, "w"):
+            pass
+        print(f"fault injection: dying at step {crash_at}", flush=True)
+        os._exit(17)
+
     def train(self) -> int:
         tp = self.config.training_params
         dp = self.config.dataset_params
@@ -366,6 +383,7 @@ class Trainer:
                         self.state.opt_state, epoch, batch_idx,
                         keep=tp.keep_checkpoints,
                     )
+                self._maybe_inject_fault()
                 val_every = tp.val_interval or tp.save_interval
                 if self.current_step % val_every == 0:
                     val_loss, val_acc = self.validate()

@@ -157,3 +157,146 @@ def test_loss_and_one_step_match_torch():
     ]
     for mine, theirs in checks:
         np.testing.assert_allclose(np.asarray(mine), theirs, atol=5e-5, rtol=1e-3)
+
+
+def test_100_step_convergence_matches_torch():
+    """Multi-step convergence gate (SURVEY §7 stage 4, VERDICT r1 item 5):
+    100 identical-batch steps on the torch reference stack (HF Albert +
+    per-sample loss loop + torch AdamW, reference: train.py:338-390) and
+    on this build must track each other step for step — compounding
+    drift from LR/decay/op-order differences would show here long before
+    it shows in a real run."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from transformers import AlbertConfig as HFConfig
+    from transformers import AlbertModel as HFAlbert
+
+    from pl_bert_tpu.export.to_hf import full_model_state_dict
+    from pl_bert_tpu.ops.masked_ce import masked_phoneme_loss
+
+    N_STEPS = 100
+    L = 64
+    mp = ModelParams(
+        hidden_size=64, num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=L, num_hidden_layers=2, embedding_size=32,
+        vocab_size=188, dropout=0.0, attention_impl="xla",
+    )
+    model = build_model(mp, "fp32")
+    params = init_params(model, L, seed=4)
+    tp = TrainingParams(learning_rate=7e-4, mixed_precision="fp32")
+    tx = make_optimizer(tp)
+    opt_state = tx.init(params)
+
+    hf_cfg = HFConfig(
+        vocab_size=188, embedding_size=32, hidden_size=64,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=L, num_hidden_layers=2,
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+    )
+
+    class TorchPhonemeOnly(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = HFAlbert(hf_cfg)
+            self.phoneme_predictor = torch.nn.Linear(64, 188)
+
+        def forward(self, ids, attention_mask):
+            out = self.encoder(ids, attention_mask=attention_mask)
+            return self.phoneme_predictor(out.last_hidden_state)
+
+    tmodel = TorchPhonemeOnly()
+    _, unexpected = tmodel.load_state_dict(
+        full_model_state_dict(params), strict=False
+    )
+    assert not unexpected
+    tmodel.train()
+    topt = torch.optim.AdamW(tmodel.parameters(), lr=7e-4)
+    criterion = torch.nn.CrossEntropyLoss()
+
+    # fixed batch stream: fresh masking every step (epoch=step)
+    rng = np.random.default_rng(5)
+    alphabet = list("ɑɐɒæbtkmnlsʃθð")
+    corpus = [
+        [
+            "".join(rng.choice(alphabet, size=int(rng.integers(2, 8))))
+            for _ in range(int(rng.integers(6, 14)))
+        ]
+        for _ in range(8)
+    ]
+    masker = WholeWordMasker(MaskingParams(max_seq_length=L), seed=6)
+
+    @jax.jit
+    def step(params, opt_state, arrays):
+        def loss_fn(p):
+            logits = model.apply(
+                {"params": p}, arrays["masked_ids"],
+                (jnp.arange(L)[None, :] < arrays["lengths"][:, None]).astype(
+                    jnp.int32
+                ),
+                deterministic=True,
+            )
+            return masked_phoneme_loss(
+                logits, arrays["label_ids"], arrays["mask_positions"],
+                arrays["lengths"],
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    j_losses, t_losses = [], []
+    for s in range(N_STEPS):
+        samples = [
+            masker(corpus[i], epoch=s, index=i) for i in range(len(corpus))
+        ]
+        batch = collate_fixed(samples, L)
+        arrays = {k: jnp.asarray(v) for k, v in batch_to_arrays(batch).items()}
+        params, opt_state, j_loss = step(params, opt_state, arrays)
+        j_losses.append(float(j_loss))
+
+        ids_t = torch.from_numpy(np.asarray(batch.masked_ids)).long()
+        mask_t = torch.from_numpy(
+            np.asarray(batch.attention_mask).astype(np.int64)
+        )
+        pred = tmodel(ids_t, mask_t)
+        loss_terms = []
+        for i in range(len(batch.lengths)):
+            idx = np.nonzero(batch.mask_positions[i])[0]
+            if len(idx) == 0:
+                continue
+            ln = int(batch.lengths[i])
+            loss_terms.append(
+                criterion(
+                    pred[i][:ln][idx],
+                    torch.from_numpy(batch.label_ids[i][:ln][idx]).long(),
+                )
+            )
+        t_loss = sum(loss_terms) / len(loss_terms)
+        topt.zero_grad()
+        t_loss.backward()
+        topt.step()
+        t_losses.append(float(t_loss))
+
+    j_arr, t_arr = np.asarray(j_losses), np.asarray(t_losses)
+    # training actually converged (not just two stacks agreeing on noise)
+    assert j_arr[-1] < 0.5 * j_arr[0], (j_arr[0], j_arr[-1])
+    # per-step trajectory overlap; fp32 op-order drift compounds with
+    # steps, so the bound is much looser than the 1-step gate but still
+    # catches any real semantic divergence (wrong decay mask, lr, loss
+    # averaging), which shows up at 1e-1 scale within a few steps
+    np.testing.assert_allclose(j_arr, t_arr, rtol=5e-3, atol=5e-4)
+
+    # final weights still agree
+    sd = full_model_state_dict(params)
+    t_sd = tmodel.state_dict()
+    for name in (
+        "phoneme_predictor.weight",
+        "encoder.embeddings.word_embeddings.weight",
+        "encoder.encoder.albert_layer_groups.0.albert_layers.0.ffn.weight",
+    ):
+        np.testing.assert_allclose(
+            sd[name].numpy(), t_sd[name].detach().numpy(),
+            atol=3e-3, rtol=5e-2, err_msg=name,
+        )
