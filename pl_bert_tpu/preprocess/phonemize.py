@@ -33,14 +33,40 @@ class IdentityG2P:
         return text.lower()
 
 
+def espeak_phoneme_mode(tie: bool = False) -> int:
+    """``phonememode`` for ``espeak_TextToPhonemes`` reproducing the
+    ``phonemizer`` package's configuration (the reference's backend,
+    preprocess.py:435).
+
+    Per espeak-ng's ``speak_lib.h``: bit 1 selects IPA phoneme names
+    (0x02); bit 7 + bits 8-23 inject a tie character between the letters
+    of multi-letter phonemes. ``phonemizer`` passes exactly 0x02 when no
+    tie is requested (its default) — in particular it does NOT set
+    bit 0, and stress marks are not a mode bit at all: espeak always
+    emits them in IPA mode and ``phonemizer`` strips them afterwards
+    when ``with_stress=False`` (see :func:`strip_stress`).
+    """
+    if tie:
+        return 0x02 | 0x80 | (0x361 << 8)  # U+0361 combining tie
+    return 0x02
+
+
+def strip_stress(phonemes: str) -> str:
+    """Remove IPA stress marks — the ``phonemizer`` package's
+    ``with_stress=False`` post-processing. The reference runs with
+    ``with_stress=True`` (preprocess.py:435), which keeps them."""
+    return phonemes.replace("ˈ", "").replace("ˌ", "")
+
+
 class EspeakBackend:
     """Direct ctypes binding to libespeak-ng.
 
     Equivalent of ``phonemizer.backend.EspeakBackend(language=...,
     preserve_punctuation=True, with_stress=True)`` as configured at
     reference preprocess.py:435 — punctuation preservation is handled by
-    the segment interleaving in :func:`phonemize_text`, stress marks by
-    the phoneme mode bits.
+    the segment interleaving in :func:`phonemize_text`, IPA selection by
+    :func:`espeak_phoneme_mode`, and stress marks by keeping (or
+    stripping, :func:`strip_stress`) what espeak emits.
     """
 
     _ESPEAK_CHARS_UTF8 = 1
@@ -72,8 +98,8 @@ class EspeakBackend:
             raise RuntimeError("espeak_Initialize failed")
         if self._lib.espeak_SetVoiceByName(language.encode()) != 0:
             raise RuntimeError(f"espeak voice '{language}' unavailable")
-        # phonememode bits: 0x02 = IPA names; 0x01 = include ties/stress
-        self._mode = 0x02 | (0x01 if with_stress else 0x00)
+        self._mode = espeak_phoneme_mode()
+        self._with_stress = with_stress
 
     def phonemize_segment(self, text: str) -> str:
         raw = text.encode("utf-8")
@@ -87,7 +113,8 @@ class EspeakBackend:
             )
             if out:
                 pieces.append(out.decode("utf-8"))
-        return " ".join(" ".join(pieces).split())
+        joined = " ".join(" ".join(pieces).split())
+        return joined if self._with_stress else strip_stress(joined)
 
 
 _BACKENDS = {"espeak": EspeakBackend, "identity": IdentityG2P}
