@@ -5,7 +5,19 @@ chip: ALBERT-base shape (hidden 768, 12 shared layers, FFN 2048),
 188-phoneme vocab, batch 96 × seq 512, bf16 compute, AdamW — the
 reference's exact training workload (reference: configs/config.yml).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Default invocation prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"}. The bench corpus generates
+samples longer than the 512-char window so every row is fully occupied —
+the token count is real tokens, not padding.
+
+Modes (VERDICT r1 items 7/10):
+  --gate [FLOOR]   also measure attention_impl=xla and emit the
+                   pallas/xla throughput ratio; exit nonzero if the
+                   ratio falls below FLOOR (default 1.3) — the perf
+                   regression gate runs inside the bench artifact.
+  --packed         measure the sequence-packing win on a realistic
+                   short-sample corpus: REAL (non-pad) tokens/sec for
+                   the padded path vs the packed path, plus occupancy.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the
 anchor used here is an analytic estimate of the reference's A100-40GB
@@ -18,6 +30,7 @@ corresponds to vs_baseline ≥ 2.0.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -30,35 +43,54 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 20
 
 
-def main() -> None:
+def _full_length_corpus(n: int, seed: int = 0) -> list[dict]:
+    """Synthetic corpus whose samples all exceed the 512-char window, so
+    benchmark batches carry zero padding (honest token accounting)."""
+    rng = np.random.default_rng(seed)
+    alphabet = list("ɑɐɒæbdfɡhijklmnopqrstuvwzʃʒθðŋɹɾʔˈˌː")
+    corpus = []
+    for _ in range(n):
+        words, total = [], 0
+        while total < SEQ + 64:  # one separator per word
+            k = int(rng.integers(2, 10))
+            words.append("".join(rng.choice(alphabet, size=k)))
+            total += k + 1
+        corpus.append({"phonemes": words})
+    return corpus
+
+
+def _short_corpus(n: int, seed: int = 0) -> list[dict]:
+    """Sentence-sized samples (~60-200 chars) — the realistic wiki-crop
+    regime where the reference's pad-to-max collation wastes most of the
+    batch (reference: dataloader.py:200-223)."""
+    rng = np.random.default_rng(seed)
+    alphabet = list("ɑɐɒæbdfɡhijklmnopqrstuvwzʃʒθðŋɹɾʔˈˌː")
+    corpus = []
+    for _ in range(n):
+        k_words = int(rng.integers(8, 30))
+        words = [
+            "".join(rng.choice(alphabet, size=int(rng.integers(2, 10))))
+            for _ in range(k_words)
+        ]
+        corpus.append({"phonemes": words})
+    return corpus
+
+
+def _build(config, mesh, masking_params=None):
+    """(state, train_step, rng, batch_sharding) for the config."""
     import jax
 
-    from pl_bert_tpu.config import Config
-    from pl_bert_tpu.data.collate import collate_fixed
-    from pl_bert_tpu.data.masking import MaskingParams, WholeWordMasker
     from pl_bert_tpu.models.albert import build_model, init_params
     from pl_bert_tpu.parallel.mesh import (
-        batch_sharding, make_mesh, param_shardings, shard_params,
+        batch_sharding, param_shardings, shard_params,
     )
     from pl_bert_tpu.training.train_step import (
-        TrainState,
-        batch_to_arrays,
-        make_optimizer,
-        make_train_step,
+        TrainState, make_optimizer, make_train_step,
     )
-    from pl_bert_tpu.training.train import make_synthetic_corpus
 
-    config = Config.from_dict({})
-    tp, dp = config.training_params, config.dataset_params
-    tp.batch_size = BATCH
-
-    mesh = make_mesh(-1, 1)
-    # attention_impl=auto → Pallas flash kernel on TPU: scores/probs stay
-    # in VMEM, so the [B, heads, 512, 512] residuals that OOM'd the plain
-    # XLA path never exist and remat isn't needed
+    tp = config.training_params
     model = build_model(config.model_params, mixed_precision="bf16", remat=False)
     tx = make_optimizer(tp)
-
     params = init_params(model, SEQ, seed=0)
     params = shard_params(params, mesh)
     opt_state = jax.jit(
@@ -66,14 +98,34 @@ def main() -> None:
         out_shardings=param_shardings(mesh, jax.eval_shape(tx.init, params)),
     )(params)
     state = TrainState(params, opt_state, jax.device_put(np.int32(0)))
-
-    train_step = make_train_step(model, tx, use_token_ids=False, donate=True)
+    train_step = make_train_step(
+        model, tx, use_token_ids=False, donate=True,
+        masking_params=masking_params,
+    )
     rng = jax.random.key(0, impl=tp.prng_impl)
-    bsh = batch_sharding(mesh)
+    return state, train_step, rng, batch_sharding(mesh)
 
-    # pre-collate a rotating pool of host batches so host masking is off
-    # the measured path (it overlaps the device step in real training)
-    corpus = make_synthetic_corpus(BATCH * 4, seed=0)
+
+def _measure(state, train_step, rng, pool) -> float:
+    """Seconds per measured window over the rotating batch pool."""
+    for i in range(WARMUP_STEPS):
+        state, metrics = train_step(state, pool[i % len(pool)], rng)
+    float(metrics["loss"])  # host read — forces the async chain to finish
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        state, metrics = train_step(state, pool[i % len(pool)], rng)
+    float(metrics["loss"])
+    return time.perf_counter() - t0
+
+
+def _host_masked_pool(config, bsh):
+    import jax
+
+    from pl_bert_tpu.data.collate import collate_fixed
+    from pl_bert_tpu.data.masking import MaskingParams, WholeWordMasker
+    from pl_bert_tpu.training.train_step import batch_to_arrays
+
+    corpus = _full_length_corpus(BATCH * 4, seed=0)
     masker = WholeWordMasker(MaskingParams(max_seq_length=SEQ), seed=1)
     pool = []
     for b in range(4):
@@ -84,30 +136,164 @@ def main() -> None:
         pool.append(
             jax.device_put(batch_to_arrays(collate_fixed(samples, SEQ)), bsh)
         )
+    return pool
 
-    for i in range(WARMUP_STEPS):
-        state, metrics = train_step(state, pool[i % len(pool)], rng)
-    float(metrics["loss"])  # host read — forces the async chain to finish
-    t0 = time.perf_counter()
-    for i in range(MEASURE_STEPS):
-        state, metrics = train_step(state, pool[i % len(pool)], rng)
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
 
-    tokens_per_sec = MEASURE_STEPS * BATCH * SEQ / dt
+def _measure_impl(config, mesh, attention_impl: str) -> float:
+    """tokens/sec of the flagship step under the given attention impl."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        config,
+        model_params=dataclasses.replace(
+            config.model_params, attention_impl=attention_impl
+        ),
+        training_params=dataclasses.replace(
+            config.training_params,
+            # plain XLA attention materializes [B, 12, 512, 512] softmax
+            # residuals and OOMs without remat (BASELINE.md)
+            remat=attention_impl == "xla",
+        ),
+    )
+    import jax
+
+    from pl_bert_tpu.models.albert import build_model, init_params
+    from pl_bert_tpu.parallel.mesh import (
+        batch_sharding, param_shardings, shard_params,
+    )
+    from pl_bert_tpu.training.train_step import (
+        TrainState, make_optimizer, make_train_step,
+    )
+
+    tp = cfg.training_params
+    model = build_model(
+        cfg.model_params, mixed_precision="bf16",
+        remat=tp.remat,
+    )
+    tx = make_optimizer(tp)
+    params = init_params(model, SEQ, seed=0)
+    params = shard_params(params, mesh)
+    opt_state = jax.jit(
+        tx.init,
+        out_shardings=param_shardings(mesh, jax.eval_shape(tx.init, params)),
+    )(params)
+    state = TrainState(params, opt_state, jax.device_put(np.int32(0)))
+    train_step = make_train_step(model, tx, use_token_ids=False, donate=True)
+    rng = jax.random.key(0, impl=tp.prng_impl)
+    pool = _host_masked_pool(cfg, batch_sharding(mesh))
+    dt = _measure(state, train_step, rng, pool)
+    return MEASURE_STEPS * BATCH * SEQ / dt
+
+
+def run_default(config, mesh, gate_floor: float | None = None) -> None:
+    tokens_per_sec = _measure_impl(config, mesh, "auto")
+    record = {
+        "metric": "train_phoneme_tokens_per_sec_per_chip",
+        "value": round(tokens_per_sec, 1),
+        "unit": "tokens/sec",
+        "vs_baseline": round(tokens_per_sec / REFERENCE_A100_TOKENS_PER_SEC, 3),
+    }
+    if gate_floor is not None:
+        xla_tps = _measure_impl(config, mesh, "xla")
+        ratio = tokens_per_sec / xla_tps
+        record["xla_tokens_per_sec"] = round(xla_tps, 1)
+        record["pallas_vs_xla"] = round(ratio, 3)
+        print(json.dumps(record))
+        if ratio < gate_floor:
+            print(
+                f"PERF GATE FAILED: pallas/xla ratio {ratio:.3f} < floor "
+                f"{gate_floor}",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+        return
+    print(json.dumps(record))
+
+
+def run_packed(config, mesh) -> None:
+    """Sequence-packing win on a short-sample corpus: REAL tokens/sec of
+    the padded on-device path vs the FFD-packed path (VERDICT r1 item 7)."""
+    import dataclasses
+
+    import jax
+
+    from pl_bert_tpu.data.masking import MaskingParams
+    from pl_bert_tpu.data.packed import (
+        PackedPhonemeDataset, PackedSequenceDataset,
+    )
+
+    dp = config.dataset_params
+    masking = MaskingParams(
+        word_pred_prob=dp.word_pred_prob,
+        phoneme_mask_prob=dp.phoneme_mask_prob,
+        replace_prob=dp.replace_prob,
+        max_seq_length=SEQ,
+        word_separator=dp.word_separator,
+    )
+    corpus = _short_corpus(6000, seed=0)
+
+    results = {}
+    for name, ds in (
+        ("padded", PackedPhonemeDataset(corpus, SEQ, seed=1)),
+        ("packed", PackedSequenceDataset(corpus, SEQ)),
+    ):
+        state, train_step, rng, bsh = _build(config, mesh, masking_params=masking)
+        pool, real_tokens = [], []
+        batches = ds.batches(BATCH, epoch=1, seed=1, drop_last=True)
+        for i, b in enumerate(batches):
+            if i == 4:
+                break
+            real_tokens.append(int(b["lengths"].sum()))
+            pool.append(jax.device_put(b, bsh))
+        dt = _measure(state, train_step, rng, pool)
+        steps_per_sec = MEASURE_STEPS / dt
+        avg_real = float(np.mean(real_tokens))
+        results[name] = {
+            "real_tokens_per_sec": steps_per_sec * avg_real,
+            "occupancy": avg_real / (BATCH * SEQ),
+        }
+
+    speedup = (
+        results["packed"]["real_tokens_per_sec"]
+        / results["padded"]["real_tokens_per_sec"]
+    )
     print(
         json.dumps(
             {
-                "metric": "train_phoneme_tokens_per_sec_per_chip",
-                "value": round(tokens_per_sec, 1),
+                "metric": "sequence_packing_real_tokens_per_sec",
+                "value": round(results["packed"]["real_tokens_per_sec"], 1),
                 "unit": "tokens/sec",
-                "vs_baseline": round(
-                    tokens_per_sec / REFERENCE_A100_TOKENS_PER_SEC, 3
+                "vs_baseline": round(speedup, 3),
+                "padded_real_tokens_per_sec": round(
+                    results["padded"]["real_tokens_per_sec"], 1
                 ),
+                "padded_occupancy": round(results["padded"]["occupancy"], 3),
+                "packed_occupancy": round(results["packed"]["occupancy"], 3),
             }
         )
     )
 
 
+def main(argv: list[str]) -> None:
+    from pl_bert_tpu.config import Config
+    from pl_bert_tpu.parallel.mesh import make_mesh
+
+    config = Config.from_dict({})
+    config.training_params.batch_size = BATCH
+    mesh = make_mesh(-1, 1)
+
+    if "--packed" in argv:
+        return run_packed(config, mesh)
+    gate_floor = None
+    if "--gate" in argv:
+        i = argv.index("--gate")
+        gate_floor = (
+            float(argv[i + 1])
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-")
+            else 1.3
+        )
+    run_default(config, mesh, gate_floor)
+
+
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:])
