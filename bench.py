@@ -18,6 +18,12 @@ Modes (VERDICT r1 items 7/10):
   --packed         measure the sequence-packing win on a realistic
                    short-sample corpus: REAL (non-pad) tokens/sec for
                    the padded path vs the packed path, plus occupancy.
+  --preprocess     host-pipeline throughput (articles/sec) through the
+                   clean stage's sharded engine + the phonemize stage
+                   (SURVEY §7.9's "preprocess sentences/sec"); runs on
+                   CPU only, no TPU needed. vs_baseline is the sharded
+                   engine vs a naive sequential loop over the same
+                   normalization functions.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the
 anchor used here is an analytic estimate of the reference's A100-40GB
@@ -30,6 +36,7 @@ corresponds to vs_baseline ≥ 2.0.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -274,7 +281,108 @@ def run_packed(config, mesh) -> None:
     )
 
 
+def _arabic_corpus(n: int, seed: int = 0) -> list[dict]:
+    """Synthetic Arabic articles mixing words, digit runs, and punctuation
+    so the clean stage exercises number verbalization, the Arabic-only
+    filter, and unicode cleanup (the reference's host hot loop,
+    reference: preprocess.py:18-30)."""
+    rng = np.random.default_rng(seed)
+    letters = [chr(c) for c in range(0x0621, 0x064B)]
+    corpus = []
+    for i in range(n):
+        parts = []
+        for _ in range(int(rng.integers(60, 140))):
+            r = rng.random()
+            if r < 0.08:
+                parts.append(str(rng.integers(0, 99999)))
+            elif r < 0.12:
+                parts.append(rng.choice(list(".,:;!?")))
+            elif r < 0.15:
+                parts.append("latin" + str(rng.integers(10)))
+            else:
+                k = int(rng.integers(2, 9))
+                parts.append("".join(rng.choice(letters, size=k)))
+        corpus.append({"id": str(i), "text": " ".join(parts)})
+    return corpus
+
+
+def run_preprocess(n: int = 2000) -> None:
+    """Host preprocess throughput: sharded clean engine vs a naive
+    sequential loop, plus the phonemize stage (VERDICT/SURVEY §7.9)."""
+    import shutil
+    import tempfile
+
+    from pl_bert_tpu.config import Config
+    from pl_bert_tpu.preprocess.phonemize import get_g2p_backend, phonemize_text
+    from pl_bert_tpu.preprocess.pipeline import standardize_text
+    from pl_bert_tpu.preprocess.shard_engine import (
+        load_processed_dataset, process_dataset,
+    )
+
+    config = Config.from_dict({})
+    pp = config.preprocess_params
+
+    corpus = _arabic_corpus(n, seed=0)
+    chars = sum(len(r["text"]) for r in corpus)
+
+    # baseline: plain sequential map over the same normalization functions
+    t0 = time.perf_counter()
+    for r in corpus:
+        standardize_text(r["text"])
+    naive_dt = time.perf_counter() - t0
+
+    # the real path: sharded engine with retry/timeout/atomic-rename
+    work = tempfile.mkdtemp(prefix="plb_prep_bench_")
+    try:
+        t0 = time.perf_counter()
+        out = process_dataset(
+            dataset=corpus,
+            root_directory=work,
+            process_fn=standardize_text,
+            output_dir=os.path.join(work, "cleaned"),
+            max_workers=pp.max_workers,
+            timeout=pp.timeout,
+            max_try_count=pp.max_try_count,
+            num_shards=16,
+        )
+        engine_dt = time.perf_counter() - t0
+        cleaned = load_processed_dataset(out)
+
+        try:
+            backend = get_g2p_backend(
+                pp.g2p_backend, language=pp.phonemizer_language,
+                with_stress=pp.with_stress,
+            )
+            g2p_name = pp.g2p_backend
+        except Exception:
+            backend = get_g2p_backend("identity")
+            g2p_name = "identity (libespeak-ng not installed)"
+        t0 = time.perf_counter()
+        for r in cleaned:
+            phonemize_text(r["text"], backend)
+        g2p_dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "preprocess_clean_articles_per_sec",
+                "value": round(n / engine_dt, 1),
+                "unit": "articles/sec",
+                "vs_baseline": round(naive_dt / engine_dt, 3),
+                "clean_chars_per_sec": round(chars / engine_dt, 1),
+                "phonemize_articles_per_sec": round(n / g2p_dt, 1),
+                "g2p_backend": g2p_name,
+            }
+        )
+    )
+
+
 def main(argv: list[str]) -> None:
+    if "--preprocess" in argv:
+        return run_preprocess()
+
     from pl_bert_tpu.config import Config
     from pl_bert_tpu.parallel.mesh import make_mesh
 

@@ -1,0 +1,70 @@
+"""CPU-runnable tests for bench.py's mode logic (the TPU measurements
+themselves run on hardware; here we pin the JSON contract, the gate's
+exit semantics, and the corpus generators' honesty guarantees)."""
+
+import json
+import sys
+
+import pytest
+
+sys.path.insert(0, ".")
+import bench  # noqa: E402
+
+
+def test_full_length_corpus_has_no_padding_waste():
+    corpus = bench._full_length_corpus(8, seed=0)
+    for sample in corpus:
+        joined = len(" ".join(sample["phonemes"]))
+        assert joined >= bench.SEQ  # every row fully occupied after crop
+
+
+def test_short_corpus_is_sentence_sized():
+    corpus = bench._short_corpus(50, seed=0)
+    lens = [len(" ".join(s["phonemes"])) for s in corpus]
+    assert max(lens) < bench.SEQ  # the padding-waste regime
+    assert min(lens) >= 10
+
+
+def test_preprocess_mode_emits_contract(capsys):
+    bench.run_preprocess(n=60)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    record = json.loads(line)
+    assert record["metric"] == "preprocess_clean_articles_per_sec"
+    assert record["unit"] == "articles/sec"
+    assert record["value"] > 0
+    assert record["vs_baseline"] > 0
+    assert record["clean_chars_per_sec"] > 0
+    assert record["phonemize_articles_per_sec"] > 0
+    assert "g2p_backend" in record
+
+
+@pytest.fixture
+def fake_measure(monkeypatch):
+    def _fake(config, mesh, attention_impl):
+        return 260_000.0 if attention_impl == "auto" else 70_000.0
+
+    monkeypatch.setattr(bench, "_measure_impl", _fake)
+
+
+def test_gate_passes_above_floor(fake_measure, capsys):
+    bench.main(["--gate", "1.3"])
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert record["pallas_vs_xla"] == pytest.approx(260 / 70, rel=1e-3)
+    assert record["xla_tokens_per_sec"] == 70_000.0
+
+
+def test_gate_fails_below_floor(fake_measure, capsys):
+    with pytest.raises(SystemExit) as exc:
+        bench.main(["--gate", "5.0"])
+    assert exc.value.code == 1
+    out = capsys.readouterr()
+    # the JSON record is still emitted before the nonzero exit
+    record = json.loads(out.out.strip().splitlines()[-1])
+    assert record["pallas_vs_xla"] < 5.0
+    assert "PERF GATE FAILED" in out.err
+
+
+def test_gate_default_floor_parses(fake_measure, capsys):
+    bench.main(["--gate"])  # no floor argument -> default 1.3, ratio passes
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert record["vs_baseline"] == pytest.approx(260_000 / 120_000, rel=1e-3)
