@@ -322,7 +322,7 @@ class Trainer:
             losses.append(float(loss))
             accs.append(float(acc))
         if not losses:
-            return 0.0, 0.0
+            return None
         return float(np.mean(losses)), float(np.mean(accs))
 
     def _maybe_inject_fault(self) -> None:
@@ -352,8 +352,15 @@ class Trainer:
             # relaunch (the elastic launcher restarts unconditionally)
             return self.current_step
 
-        val_loss, val_acc = self.validate()
-        self.metrics.log_validation(self.current_step, self.start_epoch, val_loss, val_acc)
+        val = self.validate()
+        if val is None:
+            print(
+                "Validation skipped: the 95/5 split produced no validation "
+                "batches (dataset smaller than a batch)",
+                flush=True,
+            )
+        else:
+            self.metrics.log_validation(self.current_step, self.start_epoch, *val)
 
         # resume CONTINUES the checkpointed epoch from its saved batch
         # position; a fresh run starts at epoch 1, batch 0
@@ -386,10 +393,11 @@ class Trainer:
                 self._maybe_inject_fault()
                 val_every = tp.val_interval or tp.save_interval
                 if self.current_step % val_every == 0:
-                    val_loss, val_acc = self.validate()
-                    self.metrics.log_validation(
-                        self.current_step, epoch, val_loss, val_acc
-                    )
+                    val = self.validate()
+                    if val is not None:
+                        self.metrics.log_validation(
+                            self.current_step, epoch, *val
+                        )
                 if self.current_step >= tp.num_steps:
                     if self.current_step % tp.save_interval != 0:
                         # final-step checkpoint (improvement over the
