@@ -501,15 +501,22 @@ class MultiTaskModel(nn.Module):
     @nn.compact
     def __call__(
         self, input_ids, attention_mask=None, segment_ids=None,
-        position_ids=None, deterministic=True,
+        position_ids=None, deterministic=True, project_tokens=True,
     ):
+        """``project_tokens=False`` returns (phoneme_logits, hidden)
+        instead of materializing the [B, L, num_tokens] grapheme logits —
+        the training loss projects chunk-by-chunk instead
+        (ops/masked_ce.py::masked_lm_loss_chunked), which is what makes
+        the 60k-vocab multi-task head fit in 16 GB HBM at batch 96."""
         hidden, _ = AlbertModel(self.cfg, name="encoder")(
             input_ids, attention_mask, segment_ids=segment_ids,
             position_ids=position_ids, deterministic=deterministic,
         )
         phoneme = _dense(self.cfg, self.num_phonemes, "phoneme_predictor")(hidden)
-        token = _dense(self.cfg, self.num_tokens, "token_predictor")(hidden)
-        return phoneme.astype(jnp.float32), token.astype(jnp.float32)
+        token = _dense(self.cfg, self.num_tokens, "token_predictor")
+        if not project_tokens:
+            return phoneme.astype(jnp.float32), hidden
+        return phoneme.astype(jnp.float32), token(hidden).astype(jnp.float32)
 
 
 def build_model(

@@ -45,6 +45,74 @@ def masked_phoneme_loss(
     return jnp.where(n_with_mask > 0, total / jnp.maximum(n_with_mask, 1.0), 0.0)
 
 
+def masked_lm_loss_chunked(
+    hidden: jax.Array,  # [B, L, H] compute dtype (bf16/f32)
+    kernel: jax.Array,  # [H, V] head weight (fp32 master)
+    bias: jax.Array,  # [V]
+    labels: jax.Array,  # i32 [B, L]
+    mask_positions: jax.Array,  # bool [B, L]
+    lengths: jax.Array | None = None,
+    chunk_size: int = 64,
+) -> jax.Array:
+    """Reference-equivalent masked CE against a LARGE vocabulary head,
+    computed without ever materializing the [B, L, V] logits.
+
+    Applies the head projection chunk-by-chunk over the sequence inside a
+    remat'd ``lax.scan`` — forward peak memory is one [B, chunk, V] plane
+    and the backward recomputes each chunk's logits instead of saving
+    them. The projection reproduces the Flax Dense semantics the direct
+    path uses (inputs/kernel/bias promoted to the compute dtype, then the
+    logits cast to fp32), and the averaging is identical to
+    ``masked_phoneme_loss``: per-sample mean over masked positions, then
+    mean over samples with ≥1 mask.
+
+    This is what lets the multi-task model (60k grapheme vocab,
+    reference: model.py:5-18 + train.py multi-task loss) train at the
+    reference's batch 96 × seq 512 inside 16 GB HBM — the direct
+    [96, 512, 60000] fp32 log-softmax alone would need ~12 GB.
+    """
+    B, L, H = hidden.shape
+    if L % chunk_size:
+        chunk_size = L  # degenerate fallback: single chunk
+    n = L // chunk_size
+
+    valid = mask_positions
+    if lengths is not None:
+        in_range = jnp.arange(L)[None, :] < lengths[:, None]
+        valid = valid & in_range
+
+    cdt = hidden.dtype
+    k_c = kernel.astype(cdt)
+    b_c = bias.astype(cdt)
+
+    h_chunks = hidden.reshape(B, n, chunk_size, H).transpose(1, 0, 2, 3)
+    lab_chunks = labels.reshape(B, n, chunk_size).transpose(1, 0, 2)
+    val_chunks = valid.reshape(B, n, chunk_size).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_stats(h_c, lab_c, val_c):
+        logits = (jnp.dot(h_c, k_c) + b_c).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, lab_c[..., None], axis=-1)[..., 0]
+        w = val_c.astype(jnp.float32)
+        return (nll * w).sum(axis=1), w.sum(axis=1)
+
+    def body(carry, xs):
+        s, c = carry
+        ds, dc = chunk_stats(*xs)
+        return (s + ds, c + dc), None
+
+    zeros = jnp.zeros((B,), jnp.float32)
+    (sums, counts), _ = jax.lax.scan(
+        body, (zeros, zeros), (h_chunks, lab_chunks, val_chunks)
+    )
+    has_mask = counts > 0
+    per_sample_mean = sums / jnp.maximum(counts, 1.0)
+    n_with_mask = has_mask.astype(jnp.float32).sum()
+    total = jnp.where(has_mask, per_sample_mean, 0.0).sum()
+    return jnp.where(n_with_mask > 0, total / jnp.maximum(n_with_mask, 1.0), 0.0)
+
+
 def masked_accuracy(
     logits: jax.Array,
     labels: jax.Array,

@@ -22,7 +22,11 @@ import jax.numpy as jnp
 import optax
 
 from pl_bert_tpu.config import TrainingParams
-from pl_bert_tpu.ops.masked_ce import masked_accuracy, masked_phoneme_loss
+from pl_bert_tpu.ops.masked_ce import (
+    masked_accuracy,
+    masked_lm_loss_chunked,
+    masked_phoneme_loss,
+)
 
 
 class TrainState(NamedTuple):
@@ -60,26 +64,34 @@ def _forward_loss(model, params, batch, rngs, deterministic, use_token_ids):
         jnp.arange(batch["masked_ids"].shape[1])[None, :]
         < batch["lengths"][:, None]
     ).astype(jnp.int32)
-    out = model.apply(
-        {"params": params},
-        batch["masked_ids"],
-        attention_mask,
+    apply_kwargs = dict(
         segment_ids=batch.get("segment_ids"),
         position_ids=batch.get("position_ids"),
         deterministic=deterministic,
         rngs=rngs,
     )
     if use_token_ids:
-        phoneme_logits, token_logits = out
+        # the grapheme head's [B, L, 60k] logits never materialize:
+        # the model returns hidden and the loss projects chunk-by-chunk
+        # (masked_lm_loss_chunked) — required to fit batch 96 in HBM
+        phoneme_logits, hidden = model.apply(
+            {"params": params}, batch["masked_ids"], attention_mask,
+            project_tokens=False, **apply_kwargs,
+        )
         loss_p = masked_phoneme_loss(
             phoneme_logits, batch["label_ids"], batch["mask_positions"],
             batch["lengths"],
         )
-        loss_t = masked_phoneme_loss(
-            token_logits, batch["token_ids"], batch["mask_positions"],
-            batch["lengths"],
+        head = params["token_predictor"]
+        loss_t = masked_lm_loss_chunked(
+            hidden, head["kernel"], head["bias"], batch["token_ids"],
+            batch["mask_positions"], batch["lengths"],
         )
         return loss_p + loss_t, (phoneme_logits, loss_p, loss_t)
+    out = model.apply(
+        {"params": params}, batch["masked_ids"], attention_mask,
+        **apply_kwargs,
+    )
     logits = out
     loss = masked_phoneme_loss(
         logits, batch["label_ids"], batch["mask_positions"], batch["lengths"]

@@ -1,6 +1,7 @@
 """Loss-semantics tests: the vectorized masked CE must equal the
 reference's per-sample ragged loop (reference: train.py:107-131)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -113,3 +114,66 @@ def test_accuracy_bounds():
         )
     )
     assert acc2 == 1.0
+
+
+def test_chunked_lm_loss_matches_direct_projection():
+    """masked_lm_loss_chunked == Dense-then-masked_phoneme_loss, bit-for
+    computation-order: same bf16 projection semantics, same averaging."""
+    from pl_bert_tpu.ops.masked_ce import masked_lm_loss_chunked
+
+    rng = np.random.default_rng(11)
+    B, L, H, V = 4, 32, 16, 97
+    hidden = jnp.asarray(rng.standard_normal((B, L, H)), jnp.bfloat16)
+    kernel = jnp.asarray(rng.standard_normal((H, V)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(V) * 0.01, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, (B, L)), jnp.int32)
+    mask = jnp.asarray(rng.random((B, L)) < 0.2)
+    lengths = jnp.asarray([32, 30, 17, 0], jnp.int32)  # incl. empty sample
+
+    # direct path: the Flax-Dense semantics the full-logits model uses
+    cdt = hidden.dtype
+    logits = (
+        jnp.dot(hidden, kernel.astype(cdt)) + bias.astype(cdt)
+    ).astype(jnp.float32)
+    expect = float(masked_phoneme_loss(logits, labels, mask, lengths))
+
+    got = float(
+        masked_lm_loss_chunked(
+            hidden, kernel, bias, labels, mask, lengths, chunk_size=8
+        )
+    )
+    assert abs(got - expect) < 1e-4
+
+    # non-divisible chunk size falls back to a single chunk, same value
+    got2 = float(
+        masked_lm_loss_chunked(
+            hidden, kernel, bias, labels, mask, lengths, chunk_size=7
+        )
+    )
+    assert abs(got2 - expect) < 1e-4
+
+
+def test_chunked_lm_loss_gradients_match():
+    from pl_bert_tpu.ops.masked_ce import masked_lm_loss_chunked
+
+    rng = np.random.default_rng(12)
+    B, L, H, V = 3, 16, 8, 23
+    hidden = jnp.asarray(rng.standard_normal((B, L, H)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((H, V)) * 0.05, jnp.float32)
+    bias = jnp.zeros(V, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, (B, L)), jnp.int32)
+    mask = jnp.asarray(rng.random((B, L)) < 0.3)
+
+    def direct(h, k, b):
+        logits = (jnp.dot(h, k) + b).astype(jnp.float32)
+        return masked_phoneme_loss(logits, labels, mask, None)
+
+    def chunked(h, k, b):
+        return masked_lm_loss_chunked(
+            h, k, b, labels, mask, None, chunk_size=4
+        )
+
+    g1 = jax.grad(direct, argnums=(0, 1, 2))(hidden, kernel, bias)
+    g2 = jax.grad(chunked, argnums=(0, 1, 2))(hidden, kernel, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
