@@ -24,7 +24,7 @@ import optax
 from pl_bert_tpu.config import TrainingParams
 from pl_bert_tpu.ops.masked_ce import (
     masked_accuracy,
-    masked_lm_loss_chunked,
+    masked_lm_loss,
     masked_phoneme_loss,
 )
 
@@ -83,7 +83,7 @@ def _forward_loss(model, params, batch, rngs, deterministic, use_token_ids):
             batch["lengths"],
         )
         head = params["token_predictor"]
-        loss_t = masked_lm_loss_chunked(
+        loss_t = masked_lm_loss(
             hidden, head["kernel"], head["bias"], batch["token_ids"],
             batch["mask_positions"], batch["lengths"],
         )

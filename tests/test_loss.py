@@ -177,3 +177,43 @@ def test_chunked_lm_loss_gradients_match():
     g2 = jax.grad(chunked, argnums=(0, 1, 2))(hidden, kernel, bias)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+
+
+def test_gathered_lm_loss_matches_direct():
+    """masked_lm_loss (masked-position gather + capacity fallback) equals
+    the direct projection in both branches, values and gradients."""
+    from pl_bert_tpu.ops.masked_ce import masked_lm_loss
+
+    rng = np.random.default_rng(21)
+    B, L, H, V = 4, 32, 8, 41
+    hidden = jnp.asarray(rng.standard_normal((B, L, H)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((H, V)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(V) * 0.01, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, (B, L)), jnp.int32)
+    mask = jnp.asarray(rng.random((B, L)) < 0.25)
+    lengths = jnp.asarray([32, 28, 9, 32], jnp.int32)
+
+    def direct(h, k, b):
+        logits = (jnp.dot(h, k) + b).astype(jnp.float32)
+        return masked_phoneme_loss(logits, labels, mask, lengths)
+
+    expect, g_expect = jax.value_and_grad(direct, argnums=(0, 1, 2))(
+        hidden, kernel, bias
+    )
+
+    for capacity in (16, 4):  # 16: gather branch fits; 4: overflow fallback
+        def gathered(h, k, b):
+            return masked_lm_loss(
+                h, k, b, labels, mask, lengths,
+                capacity=capacity, chunk_size=8,
+            )
+
+        got, g_got = jax.value_and_grad(gathered, argnums=(0, 1, 2))(
+            hidden, kernel, bias
+        )
+        assert abs(float(got) - float(expect)) < 1e-4, capacity
+        for a, b_ in zip(g_expect, g_got):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-5,
+                err_msg=f"capacity={capacity}",
+            )
