@@ -88,8 +88,18 @@ def _short_corpus(n: int, seed: int = 0) -> list[dict]:
     return corpus
 
 
-def _build(config, mesh, masking_params=None):
-    """(state, train_step, rng, batch_sharding) for the config."""
+def _build(
+    config, mesh, masking_params=None, attention_impl=None,
+    use_token_ids=False, num_token_vocab=0,
+):
+    """(state, train_step, rng, batch_sharding) for the config.
+
+    The single state-construction path every bench mode shares;
+    ``attention_impl='xla'`` also enables remat (plain XLA attention
+    materializes [B, 12, 512, 512] softmax residuals and OOMs without
+    it — BASELINE.md)."""
+    import dataclasses
+
     import jax
 
     from pl_bert_tpu.models.albert import build_model, init_params
@@ -100,8 +110,24 @@ def _build(config, mesh, masking_params=None):
         TrainState, make_optimizer, make_train_step,
     )
 
+    mp_overrides = {}
+    if attention_impl is not None:
+        mp_overrides["attention_impl"] = attention_impl
+    if num_token_vocab:
+        mp_overrides["num_token_vocab"] = num_token_vocab
+    if mp_overrides:
+        config = dataclasses.replace(
+            config,
+            model_params=dataclasses.replace(
+                config.model_params, **mp_overrides
+            ),
+        )
+
     tp = config.training_params
-    model = build_model(config.model_params, mixed_precision="bf16", remat=False)
+    model = build_model(
+        config.model_params, mixed_precision="bf16",
+        remat=attention_impl == "xla",
+    )
     tx = make_optimizer(tp)
     params = init_params(model, SEQ, seed=0)
     params = shard_params(params, mesh)
@@ -111,7 +137,7 @@ def _build(config, mesh, masking_params=None):
     )(params)
     state = TrainState(params, opt_state, jax.device_put(np.int32(0)))
     train_step = make_train_step(
-        model, tx, use_token_ids=False, donate=True,
+        model, tx, use_token_ids=use_token_ids, donate=True,
         masking_params=masking_params,
     )
     rng = jax.random.key(0, impl=tp.prng_impl)
@@ -130,7 +156,7 @@ def _measure(state, train_step, rng, pool) -> float:
     return time.perf_counter() - t0
 
 
-def _host_masked_pool(config, bsh):
+def _host_masked_pool(bsh):
     import jax
 
     from pl_bert_tpu.data.collate import collate_fixed
@@ -151,54 +177,25 @@ def _host_masked_pool(config, bsh):
     return pool
 
 
-def _measure_impl(config, mesh, attention_impl: str) -> float:
+def _measure_impl(config, mesh, attention_impl: str | None) -> float:
     """tokens/sec of the flagship step under the given attention impl."""
-    import dataclasses
-
-    cfg = dataclasses.replace(
-        config,
-        model_params=dataclasses.replace(
-            config.model_params, attention_impl=attention_impl
-        ),
-        training_params=dataclasses.replace(
-            config.training_params,
-            # plain XLA attention materializes [B, 12, 512, 512] softmax
-            # residuals and OOMs without remat (BASELINE.md)
-            remat=attention_impl == "xla",
-        ),
+    state, train_step, rng, bsh = _build(
+        config, mesh, attention_impl=attention_impl
     )
-    import jax
-
-    from pl_bert_tpu.models.albert import build_model, init_params
-    from pl_bert_tpu.parallel.mesh import (
-        batch_sharding, param_shardings, shard_params,
-    )
-    from pl_bert_tpu.training.train_step import (
-        TrainState, make_optimizer, make_train_step,
-    )
-
-    tp = cfg.training_params
-    model = build_model(
-        cfg.model_params, mixed_precision="bf16",
-        remat=tp.remat,
-    )
-    tx = make_optimizer(tp)
-    params = init_params(model, SEQ, seed=0)
-    params = shard_params(params, mesh)
-    opt_state = jax.jit(
-        tx.init,
-        out_shardings=param_shardings(mesh, jax.eval_shape(tx.init, params)),
-    )(params)
-    state = TrainState(params, opt_state, jax.device_put(np.int32(0)))
-    train_step = make_train_step(model, tx, use_token_ids=False, donate=True)
-    rng = jax.random.key(0, impl=tp.prng_impl)
-    pool = _host_masked_pool(cfg, batch_sharding(mesh))
+    pool = _host_masked_pool(bsh)
     dt = _measure(state, train_step, rng, pool)
     return MEASURE_STEPS * BATCH * SEQ / dt
 
 
 def run_default(config, mesh, gate_floor: float | None = None) -> None:
-    tokens_per_sec = _measure_impl(config, mesh, "auto")
+    # the gate numerator FORCES the fused-block kernel rather than using
+    # "auto": if the kernel dispatch regresses (auto silently resolving
+    # to xla), the forced path falls back to xla too, the ratio lands
+    # near 1, and the gate fails loudly instead of comparing xla to xla
+    # under a label that says "pallas"
+    tokens_per_sec = _measure_impl(
+        config, mesh, "pallas_block" if gate_floor is not None else "auto"
+    )
     record = {
         "metric": "train_phoneme_tokens_per_sec_per_chip",
         "value": round(tokens_per_sec, 1),
@@ -225,8 +222,6 @@ def run_default(config, mesh, gate_floor: float | None = None) -> None:
 def run_packed(config, mesh) -> None:
     """Sequence-packing win on a short-sample corpus: REAL tokens/sec of
     the padded on-device path vs the FFD-packed path (VERDICT r1 item 7)."""
-    import dataclasses
-
     import jax
 
     from pl_bert_tpu.data.masking import MaskingParams
@@ -289,40 +284,15 @@ def run_packed(config, mesh) -> None:
 def run_multitask(config, mesh) -> None:
     """Multi-task training throughput: the 60k grapheme head on top of
     the flagship step (reference: model.py:5-18, the upstream variant)."""
-    import dataclasses
-
     import jax
 
     from pl_bert_tpu.data.collate import collate_fixed
     from pl_bert_tpu.data.masking import MaskingParams, WholeWordMasker
-    from pl_bert_tpu.models.albert import build_model, init_params
-    from pl_bert_tpu.parallel.mesh import (
-        batch_sharding, param_shardings, shard_params,
-    )
-    from pl_bert_tpu.training.train_step import (
-        TrainState, batch_to_arrays, make_optimizer, make_train_step,
-    )
+    from pl_bert_tpu.training.train_step import batch_to_arrays
 
-    cfg = dataclasses.replace(
-        config,
-        model_params=dataclasses.replace(
-            config.model_params, num_token_vocab=60_000
-        ),
+    state, train_step, rng, bsh = _build(
+        config, mesh, use_token_ids=True, num_token_vocab=60_000
     )
-    tp = cfg.training_params
-    model = build_model(cfg.model_params, mixed_precision="bf16")
-    tx = make_optimizer(tp)
-    params = init_params(model, SEQ, seed=0)
-    params = shard_params(params, mesh)
-    opt_state = jax.jit(
-        tx.init,
-        out_shardings=param_shardings(mesh, jax.eval_shape(tx.init, params)),
-    )(params)
-    state = TrainState(params, opt_state, jax.device_put(np.int32(0)))
-    train_step = make_train_step(model, tx, use_token_ids=True, donate=True)
-    rng = jax.random.key(0, impl=tp.prng_impl)
-    bsh = batch_sharding(mesh)
-
     corpus = _full_length_corpus(BATCH * 4, seed=0)
     nrng = np.random.default_rng(7)
     masker = WholeWordMasker(MaskingParams(max_seq_length=SEQ), seed=1)
@@ -348,6 +318,10 @@ def run_multitask(config, mesh) -> None:
                 "vs_baseline": round(
                     tokens_per_sec / REFERENCE_A100_TOKENS_PER_SEC, 3
                 ),
+                # the anchor is the PHONEME-ONLY A100 estimate; the
+                # reference's multitask A100 rate would be strictly
+                # lower, so this ratio is conservative
+                "baseline_anchor": "phoneme-only A100 estimate",
             }
         )
     )
@@ -451,7 +425,24 @@ def run_preprocess(n: int = 2000) -> None:
     )
 
 
+_KNOWN_FLAGS = {"--gate", "--packed", "--preprocess", "--multitask"}
+
+
 def main(argv: list[str]) -> None:
+    # strict flag validation: a typo'd mode must not silently fall
+    # through to the (expensive) default TPU measurement
+    it = iter(range(len(argv)))
+    for i in it:
+        arg = argv[i]
+        if arg in _KNOWN_FLAGS:
+            if arg == "--gate" and i + 1 < len(argv) and not argv[
+                i + 1
+            ].startswith("-"):
+                next(it, None)  # the floor value
+            continue
+        raise SystemExit(f"unknown bench argument: {arg!r} (known: "
+                         f"{sorted(_KNOWN_FLAGS)})")
+
     if "--preprocess" in argv:
         return run_preprocess()
 

@@ -73,7 +73,12 @@ def masked_lm_loss_chunked(
     """
     B, L, H = hidden.shape
     if L % chunk_size:
-        chunk_size = L  # degenerate fallback: single chunk
+        # largest divisor of L not exceeding the request — never fall
+        # back to one full-length chunk, which would materialize the
+        # [B, L, V] plane this function exists to avoid
+        chunk_size = min(chunk_size, L)
+        while L % chunk_size:
+            chunk_size -= 1
     n = L // chunk_size
 
     valid = mask_positions

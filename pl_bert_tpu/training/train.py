@@ -306,7 +306,7 @@ class Trainer:
         )
         return {k: pad(v) for k, v in arrays.items()}
 
-    def validate(self) -> tuple[float, float]:
+    def validate(self) -> tuple[float, float] | None:
         losses, accs = [], []
         bs = self.config.training_params.batch_size
         tp = self.config.training_params

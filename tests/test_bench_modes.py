@@ -41,7 +41,7 @@ def test_preprocess_mode_emits_contract(capsys):
 @pytest.fixture
 def fake_measure(monkeypatch):
     def _fake(config, mesh, attention_impl):
-        return 260_000.0 if attention_impl == "auto" else 70_000.0
+        return 70_000.0 if attention_impl == "xla" else 260_000.0
 
     monkeypatch.setattr(bench, "_measure_impl", _fake)
 
@@ -68,3 +68,36 @@ def test_gate_default_floor_parses(fake_measure, capsys):
     bench.main(["--gate"])  # no floor argument -> default 1.3, ratio passes
     record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert record["vs_baseline"] == pytest.approx(260_000 / 120_000, rel=1e-3)
+
+
+def test_unknown_flag_rejected():
+    with pytest.raises(SystemExit) as exc:
+        bench.main(["--multitsk"])  # typo must not run the default bench
+    assert "unknown bench argument" in str(exc.value)
+
+
+def test_gate_floor_value_accepted(fake_measure, capsys):
+    bench.main(["--gate", "2.5"])  # explicit floor below the fake ratio
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert record["pallas_vs_xla"] > 2.5
+
+
+def test_chunk_size_never_falls_back_to_full_length():
+    from pl_bert_tpu.ops.masked_ce import masked_lm_loss_chunked
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    B, L, H, V = 2, 12, 4, 7
+    hidden = jnp.asarray(rng.standard_normal((B, L, H)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((H, V)), jnp.float32)
+    bias = jnp.zeros(V, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, (B, L)), jnp.int32)
+    mask = jnp.asarray(rng.random((B, L)) < 0.5)
+    # chunk_size=8 does not divide L=12 -> snaps to 6 (largest divisor),
+    # NOT to a single 12-wide chunk; value must match either way
+    a = float(masked_lm_loss_chunked(hidden, kernel, bias, labels, mask,
+                                     None, chunk_size=8))
+    b = float(masked_lm_loss_chunked(hidden, kernel, bias, labels, mask,
+                                     None, chunk_size=12))
+    assert abs(a - b) < 1e-5
