@@ -111,6 +111,74 @@ def main_phonemize(
     )
 
 
+def _tokenize_record(record: dict, tokenizer) -> dict:
+    from pl_bert_tpu.text.normalize import separate_words_and_punctuation
+
+    tokens = separate_words_and_punctuation(record["text"])
+    ids = tokenizer.convert_tokens_to_ids(tokens)
+    # align 1:1 with the phonemes column: the G2P backend may split a
+    # token into several phoneme words (espeak on digit runs), in which
+    # case the tail aligns best-effort to [UNK]
+    n = len(record["phonemes"]) if "phonemes" in record else len(ids)
+    if len(ids) < n:
+        ids = ids + [tokenizer.unk_token_id] * (n - len(ids))
+    return {"token_ids": ids[:n]}
+
+
+def main_tokenize(
+    config: Config,
+    dataset_path: str,
+    output_dir: str | None = None,
+    tokenizer_dir: str | None = None,
+) -> str:
+    """Attach per-word grapheme ``token_ids`` to a phonemized dataset —
+    the multi-task variant's data column. The reference's dataset reader
+    expects ``data[idx]['token_ids']`` (reference: dataloader.py:39-44)
+    but nothing in the reference repo produces it (the upstream notebook
+    did); this stage closes that gap: it builds (or loads) the 60k word
+    tokenizer (reference: tokenizer.py:13-68) over the dataset's cleaned
+    text and aligns ids with the ``phonemes`` column through the same
+    words-and-punctuation split the phonemize stage used.
+    """
+    from pl_bert_tpu.text.word_tokenizer import (
+        WordTokenizer, create_word_tokenizer,
+    )
+
+    pp = config.preprocess_params
+    dataset = load_processed_dataset(dataset_path)
+    if output_dir is None:
+        output_dir = f"{os.path.basename(dataset_path)}.tokenized"
+
+    if tokenizer_dir and os.path.exists(
+        os.path.join(tokenizer_dir, "tokenizer.json")
+    ):
+        tokenizer = WordTokenizer.load(tokenizer_dir)
+        print(f"Loaded tokenizer ({tokenizer.vocab_size} words)")
+    else:
+        save_to = tokenizer_dir or os.path.join(
+            os.path.dirname(dataset_path) or ".", "word_tokenizer"
+        )
+        tokenizer = create_word_tokenizer(
+            (r["text"] for r in dataset), output_dir=save_to
+        )
+        print(
+            f"Built tokenizer ({tokenizer.vocab_size} words) -> {save_to}"
+        )
+
+    print(f"Tokenizing {len(dataset)} samples")
+    return process_dataset(
+        dataset=dataset,
+        root_directory=os.path.dirname(dataset_path) or ".",
+        process_fn=_tokenize_record,
+        process_args=tokenizer,
+        output_dir=output_dir,
+        max_workers=pp.max_workers,
+        timeout=pp.timeout,
+        max_try_count=pp.max_try_count,
+        num_shards=min(pp.num_shards, 100),
+    )
+
+
 def main_diacritize(
     config: Config,
     dataset_path: str,
@@ -163,11 +231,14 @@ def main(argv=None) -> None:
     parser.add_argument("--local_dataset_path", type=str, default=None)
     parser.add_argument(
         "--stage",
-        choices=["clean", "phonemize", "diacritize", "all"],
+        choices=["clean", "phonemize", "tokenize", "diacritize", "all"],
         default="all",
     )
     parser.add_argument("--dataset_path", type=str, default=None,
-                        help="input for phonemize/diacritize stages")
+                        help="input for phonemize/tokenize/diacritize stages")
+    parser.add_argument("--tokenizer_dir", type=str, default=None,
+                        help="load (or save) the word tokenizer here "
+                             "(tokenize stage)")
     args = parser.parse_args(argv)
     config = Config.load(args.config_path)
 
@@ -177,6 +248,9 @@ def main(argv=None) -> None:
         cleaned = args.dataset_path
     if args.stage in ("phonemize", "all"):
         main_phonemize(config, cleaned)
+    if args.stage == "tokenize":
+        # multi-task data column; input = a PHONEMIZED dataset
+        main_tokenize(config, cleaned, tokenizer_dir=args.tokenizer_dir)
     if args.stage in ("diacritize", "all"):
         diacritized = main_diacritize(config, cleaned)
         main_phonemize(config, diacritized)

@@ -100,3 +100,61 @@ def test_word_tokenizer_roundtrip(tmp_path):
     tok2 = WordTokenizer.load(str(tmp_path))
     assert tok2.vocab == tok.vocab
     assert os.path.exists(tmp_path / "vocab.json")
+
+
+def test_tokenize_stage_aligns_token_ids_with_phonemes(tmp_path):
+    """main_tokenize attaches a token_ids column aligned 1:1 with the
+    phonemes column (the multi-task data contract the reference reader
+    expects at dataloader.py:39-44 but never produces)."""
+    from pl_bert_tpu.config import Config
+    from pl_bert_tpu.preprocess.pipeline import main_tokenize
+    from pl_bert_tpu.preprocess.shard_engine import (
+        combine_and_save, load_processed_dataset,
+    )
+    from pl_bert_tpu.text.word_tokenizer import WordTokenizer
+    from pl_bert_tpu.text.normalize import separate_words_and_punctuation
+
+    texts = [
+        "مرحبا بالعالم الجميل .",
+        "كتاب و قلم ، ورقة !",
+        "مرحبا كتاب قلم",
+    ]
+    # identity-G2P style phonemes: one entry per word/punct token
+    records = [
+        {"id": str(i), "text": t,
+         "phonemes": separate_words_and_punctuation(t)}
+        for i, t in enumerate(texts)
+    ]
+    ds_path = str(tmp_path / "phonemized")
+    combine_and_save([records], ds_path)
+
+    config = Config.from_dict(
+        {"preprocess_params": {"num_shards": 2, "max_workers": 2,
+                               "max_try_count": 1, "timeout": 60,
+                               "preprocess_dir": str(tmp_path)}}
+    )
+    out = main_tokenize(
+        config, ds_path, output_dir=str(tmp_path / "tokenized"),
+        tokenizer_dir=str(tmp_path / "tok"),
+    )
+    result = load_processed_dataset(out)
+    tok = WordTokenizer.load(str(tmp_path / "tok"))
+
+    assert len(result) == len(records)
+    by_id = {r["id"]: r for r in result}
+    for rec in records:
+        got = by_id[rec["id"]]
+        assert len(got["token_ids"]) == len(rec["phonemes"])
+        # ids decode back to the original words (vocab built on corpus)
+        decoded = tok.convert_ids_to_tokens(got["token_ids"])
+        assert decoded == separate_words_and_punctuation(rec["text"])
+
+    # loading the tokenizer again must reuse it (not rebuild)
+    out2 = main_tokenize(
+        config, ds_path, output_dir=str(tmp_path / "tokenized2"),
+        tokenizer_dir=str(tmp_path / "tok"),
+    )
+    result2 = load_processed_dataset(out2)
+    assert [r["token_ids"] for r in result2] == [
+        by_id[r["id"]]["token_ids"] for r in result2
+    ]
