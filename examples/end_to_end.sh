@@ -60,9 +60,27 @@ echo "== 2. phonemize =="
 python -m pl_bert_tpu.preprocess.pipeline --config_path "$WORK/config.yml" \
     --stage phonemize --dataset_path "$WORK/prep/cleaned"
 
+echo "== 2b. tokenize (multi-task token_ids column + word tokenizer) =="
+python -m pl_bert_tpu.preprocess.pipeline --config_path "$WORK/config.yml" \
+    --stage tokenize --dataset_path "$WORK/prep/cleaned.phonemized" \
+    --tokenizer_dir "$WORK/prep/word_tokenizer"
+
 echo "== 3. pretrain =="
 python -m pl_bert_tpu.training.train --config_path "$WORK/config.yml" \
     --run_name demo
+
+echo "== 3b. pretrain the multi-task variant (phoneme + grapheme heads) =="
+python - <<PY
+import yaml
+cfg = yaml.safe_load(open("$WORK/config.yml"))
+cfg["training_params"]["training_dataset"] = \
+    "$WORK/prep/cleaned.phonemized.tokenized"
+cfg["model_params"]["num_token_vocab"] = 64  # >= demo tokenizer vocab
+yaml.safe_dump(cfg, open("$WORK/config_multitask.yml", "w"),
+               allow_unicode=True)
+PY
+python -m pl_bert_tpu.training.train --config_path "$WORK/config_multitask.yml" \
+    --run_name demo_multitask
 
 echo "== 4. export to HuggingFace =="
 python -m pl_bert_tpu.export.cli \
