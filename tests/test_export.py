@@ -100,3 +100,31 @@ def test_export_cli_from_orbax_checkpoint(tmp_path):
     ])
     assert os.path.exists(os.path.join(out, "pl_bert_full_model.pt"))
     assert "Step: 77" in open(os.path.join(out, "training_metadata.txt")).read()
+
+
+def test_export_multitask_includes_token_head(tmp_path):
+    """Multi-task checkpoints export both heads with the reference
+    MultiTaskModel state-dict naming (model.py:5-18)."""
+    torch = pytest.importorskip("torch")
+    from pl_bert_tpu.export.to_hf import export_checkpoint
+
+    raw = {
+        "model_params": dict(SMALL["model_params"], num_token_vocab=57),
+        "dataset_params": {"max_seq_length": 64},
+    }
+    config = Config.from_dict(raw)
+    model = build_model(config.model_params, "fp32")
+    params = init_params(model, 64, seed=5)
+
+    out = str(tmp_path / "hf_export_mt")
+    export_checkpoint(
+        params, config.to_dict(), out, step=9, epoch=1,
+        checkpoint_path="/ckpt/step_9",
+    )
+    sd = torch.load(
+        os.path.join(out, "pl_bert_full_model.pt"), weights_only=True
+    )
+    assert sd["token_predictor.weight"].shape == (57, 96)
+    assert sd["token_predictor.bias"].shape == (57,)
+    assert sd["phoneme_predictor.weight"].shape == (188, 96)
+    assert any(k.startswith("encoder.") for k in sd)
