@@ -64,6 +64,12 @@ _RULES: list[tuple[tuple[str, ...], P]] = [
     (("ffn", "kernel"), P(None, MODEL_AXIS)),
     (("ffn", "bias"), P(MODEL_AXIS)),
     (("ffn_output", "kernel"), P(MODEL_AXIS, None)),
+    # vocab-parallel grapheme head: the 60k-vocab projection and its
+    # chunked log-softmax shard over the model axis (GSPMD inserts the
+    # max/sum all-reduces); 184 MB of fp32 master weights + optimizer
+    # state stop being replicated per model rank
+    (("token_predictor", "kernel"), P(None, MODEL_AXIS)),
+    (("token_predictor", "bias"), P(MODEL_AXIS)),
 ]
 
 

@@ -85,9 +85,12 @@ def setup_config_and_directories(args: dict, config_path: str):
     return original, log_dir, False
 
 
-def make_synthetic_corpus(n_samples: int, seed: int = 0) -> list[dict]:
+def make_synthetic_corpus(
+    n_samples: int, seed: int = 0, token_vocab: int = 0
+) -> list[dict]:
     """Random phoneme-word corpus — zero-egress stand-in for wiki shards
-    (used by smoke tests and the bench harness)."""
+    (used by smoke tests and the bench harness). ``token_vocab>0`` also
+    attaches per-word grapheme token_ids (the multi-task column)."""
     rng = np.random.default_rng(seed)
     alphabet = list("ɑɐɒæbdfɡhijklmnopqrstuvwzʃʒθðŋɹɾʔˈˌː")
     corpus = []
@@ -97,16 +100,23 @@ def make_synthetic_corpus(n_samples: int, seed: int = 0) -> list[dict]:
             "".join(rng.choice(alphabet, size=int(rng.integers(2, 10))))
             for _ in range(n_words)
         ]
-        corpus.append({"phonemes": words})
+        record = {"phonemes": words}
+        if token_vocab > 0:
+            record["token_ids"] = rng.integers(
+                5, token_vocab, size=n_words
+            ).tolist()
+        corpus.append(record)
     return corpus
 
 
-def load_training_dataset(name: str, split: str):
+def load_training_dataset(name: str, split: str, token_vocab: int = 0):
     """Resolve the configured dataset: synthetic:N, a local save_to_disk
-    path, or an HF hub id (reference: train.py:242-259)."""
+    path, or an HF hub id (reference: train.py:242-259). For synthetic
+    corpora, ``token_vocab`` (the model's num_token_vocab) adds the
+    multi-task token_ids column."""
     if name.startswith("synthetic"):
         n = int(name.split(":", 1)[1]) if ":" in name else 2048
-        return make_synthetic_corpus(n)
+        return make_synthetic_corpus(n, token_vocab=token_vocab)
     if os.path.isdir(name):
         jsonl = os.path.join(name, "records.jsonl")
         if os.path.exists(jsonl):  # output of pl_bert_tpu.preprocess
@@ -154,7 +164,9 @@ class Trainer:
         self.use_token_ids = mp.num_token_vocab > 0
 
         if dataset is None:
-            dataset = load_training_dataset(tp.training_dataset, tp.split)
+            dataset = load_training_dataset(
+                tp.training_dataset, tp.split, token_vocab=mp.num_token_vocab
+            )
         self.ondevice_masking = dp.ondevice_masking
         self.masking_params = None
         if dp.sequence_packing and not dp.ondevice_masking:

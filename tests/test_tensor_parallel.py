@@ -221,3 +221,44 @@ def test_model_axis_2_loss_matches_model_axis_1(tmp_path):
     np.testing.assert_allclose(
         losses[2], losses[1], rtol=2e-5, atol=2e-6
     )
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+def test_multitask_vocab_parallel_head_matches_model_axis_1(tmp_path):
+    """The vocab-sharded grapheme head (token_predictor kernel split over
+    the model axis) must reproduce the replicated-head trajectory — the
+    chunked CE's max/sum all-reduces change layout, never math."""
+    import dataclasses
+
+    from pl_bert_tpu.training.train import Trainer
+
+    losses = {}
+    for model_axis in (1, 2):
+        cfg = _train_config(tmp_path, model_axis)
+        cfg = dataclasses.replace(
+            cfg,
+            model_params=dataclasses.replace(
+                cfg.model_params, num_token_vocab=64
+            ),
+        )
+        trainer = Trainer(
+            cfg, str(tmp_path / f"run_mt_m{model_axis}"), False
+        )
+        assert trainer.use_token_ids
+        per_step = []
+        for i, batch in enumerate(trainer._train_batches(epoch=1)):
+            trainer.state, m = trainer.train_step(
+                trainer.state, trainer._put(batch), trainer.base_rng
+            )
+            per_step.append(
+                (float(m["loss"]), float(m["token_loss"]))
+            )
+            if i == 2:
+                break
+        losses[model_axis] = per_step
+    np.testing.assert_allclose(
+        np.asarray(losses[2]), np.asarray(losses[1]), rtol=5e-5, atol=5e-6
+    )
+    assert all(t > 0 for _, t in losses[1])  # the token head really trains
