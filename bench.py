@@ -29,6 +29,9 @@ Modes (VERDICT r1 items 7/10):
                    seq 512 — trains via the masked-position-gather
                    chunked CE (ops/masked_ce.py), which is what fits
                    the 60k head in 16 GB HBM at all.
+  --inference      the serving path (models/inference.py::PhonemeEncoder,
+                   the StyleTTS consumption contract): encoder forward
+                   tokens/sec at batch 96 × seq 512, bf16.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the
 anchor used here is an analytic estimate of the reference's A100-40GB
@@ -327,6 +330,70 @@ def run_multitask(config, mesh) -> None:
     )
 
 
+def run_inference(config) -> None:
+    """Serving-path throughput: the PhonemeEncoder forward (the
+    reference's downstream contract — AlbertModel.last_hidden_state fed
+    to StyleTTS, reference README.md:40-47) at batch 96 × seq 512, bf16.
+
+    Measures the jitted encoder forward (host text→id encoding included,
+    device→host fetch of the [96, 512, 768] hidden states excluded — on
+    this rig that fetch crosses the axon tunnel and would measure link
+    bandwidth, not the chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pl_bert_tpu.models.albert import build_model, init_params
+    from pl_bert_tpu.models.inference import PhonemeEncoder
+    from pl_bert_tpu.text.symbols import encode
+
+    model = build_model(config.model_params, "fp32")
+    params = init_params(model, SEQ, seed=0)["encoder"]
+    enc = PhonemeEncoder(params, config.model_params, SEQ)
+
+    corpus = _full_length_corpus(BATCH * 4, seed=0)
+    batches = []
+    total_tokens = 0
+    for b in range(4):
+        ids = np.zeros((BATCH, SEQ), np.int32)
+        lengths = np.zeros(BATCH, np.int32)
+        for i in range(BATCH):
+            text = " ".join(corpus[b * BATCH + i]["phonemes"])
+            row = encode(text)[:SEQ]
+            ids[i, : len(row)] = row
+            lengths[i] = len(row)
+        mask = (np.arange(SEQ)[None, :] < lengths[:, None]).astype(np.int32)
+        batches.append((jnp.asarray(ids), jnp.asarray(mask)))
+        total_tokens += int(lengths.sum())
+
+    def forward(ids, mask):
+        hidden, _ = enc._forward({"params": enc.params}, ids, mask)
+        return hidden
+
+    out = forward(*batches[0])
+    float(jnp.sum(out[:1, :1].astype(jnp.float32)))  # sync
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        out = forward(*batches[i % 4])
+    float(jnp.sum(out[:1, :1].astype(jnp.float32)))
+    dt = time.perf_counter() - t0
+    tokens_per_sec = MEASURE_STEPS * (total_tokens / 4) / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "inference_encode_tokens_per_sec_per_chip",
+                "value": round(tokens_per_sec, 1),
+                "unit": "tokens/sec",
+                # anchor: the same analytic A100 reference stack,
+                # forward-only ≈ 3x its training rate
+                "vs_baseline": round(
+                    tokens_per_sec / (3 * REFERENCE_A100_TOKENS_PER_SEC), 3
+                ),
+            }
+        )
+    )
+
+
 def _arabic_corpus(n: int, seed: int = 0) -> list[dict]:
     """Synthetic Arabic articles mixing words, digit runs, and punctuation
     so the clean stage exercises number verbalization, the Arabic-only
@@ -425,7 +492,8 @@ def run_preprocess(n: int = 2000) -> None:
     )
 
 
-_KNOWN_FLAGS = {"--gate", "--packed", "--preprocess", "--multitask"}
+_KNOWN_FLAGS = {"--gate", "--packed", "--preprocess", "--multitask",
+                "--inference"}
 
 
 def main(argv: list[str]) -> None:
@@ -457,6 +525,8 @@ def main(argv: list[str]) -> None:
         return run_packed(config, mesh)
     if "--multitask" in argv:
         return run_multitask(config, mesh)
+    if "--inference" in argv:
+        return run_inference(config)
     gate_floor = None
     if "--gate" in argv:
         i = argv.index("--gate")
