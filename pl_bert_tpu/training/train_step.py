@@ -59,7 +59,14 @@ def make_optimizer(tp: TrainingParams) -> optax.GradientTransformation:
     )
 
 
-def _forward_loss(model, params, batch, rngs, deterministic, use_token_ids):
+def _forward_loss(
+    model, params, batch, rngs, deterministic, use_token_ids,
+    compute_token_loss=True,
+):
+    """``compute_token_loss=False`` (eval) skips the grapheme head: the
+    model returns hidden unused, so XLA dead-code-eliminates the 60k
+    projection — validation reports the phoneme loss only, as the
+    reference's run_validation does (reference: train.py:288-304)."""
     attention_mask = (
         jnp.arange(batch["masked_ids"].shape[1])[None, :]
         < batch["lengths"][:, None]
@@ -82,6 +89,8 @@ def _forward_loss(model, params, batch, rngs, deterministic, use_token_ids):
             phoneme_logits, batch["label_ids"], batch["mask_positions"],
             batch["lengths"],
         )
+        if not compute_token_loss:
+            return loss_p, (phoneme_logits, loss_p, jnp.float32(0.0))
         head = params["token_predictor"]
         loss_t = masked_lm_loss(
             hidden, head["kernel"], head["bias"], batch["token_ids"],
@@ -172,29 +181,10 @@ def make_eval_step(model, use_token_ids: bool = False, masking_params=None):
     def step_fn(params, batch: dict, rng: jax.Array):
         if masking_params is not None:
             batch = _apply_ondevice_masking(batch, rng, masking_params)
-        if use_token_ids:
-            # validation reports the phoneme loss only (reference:
-            # train.py:288-304 runs calculate_phoneme_loss), so skip the
-            # 60k grapheme head entirely — project_tokens=False lets XLA
-            # dead-code-eliminate it
-            attention_mask = (
-                jnp.arange(batch["masked_ids"].shape[1])[None, :]
-                < batch["lengths"][:, None]
-            ).astype(jnp.int32)
-            logits, _ = model.apply(
-                {"params": params}, batch["masked_ids"], attention_mask,
-                segment_ids=batch.get("segment_ids"),
-                position_ids=batch.get("position_ids"),
-                deterministic=True, project_tokens=False,
-            )
-            loss_p = masked_phoneme_loss(
-                logits, batch["label_ids"], batch["mask_positions"],
-                batch["lengths"],
-            )
-        else:
-            _, (logits, loss_p, _) = _forward_loss(
-                model, params, batch, None, True, False
-            )
+        _, (logits, loss_p, _) = _forward_loss(
+            model, params, batch, None, True, use_token_ids,
+            compute_token_loss=False,
+        )
         acc = masked_accuracy(
             logits, batch["label_ids"], batch["mask_positions"], batch["lengths"]
         )

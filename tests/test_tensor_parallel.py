@@ -262,3 +262,42 @@ def test_multitask_vocab_parallel_head_matches_model_axis_1(tmp_path):
         np.asarray(losses[2]), np.asarray(losses[1]), rtol=5e-5, atol=5e-6
     )
     assert all(t > 0 for _, t in losses[1])  # the token head really trains
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs >=2 CPU devices"
+)
+def test_vocab_sharded_gathered_lm_loss_matches_replicated():
+    """The production masked_lm_loss path — masked-position GATHER
+    (capacity < L) over a token_predictor kernel sharded P(None, model) —
+    must equal the replicated computation. (The trainer-level parity test
+    uses L=64 < capacity and so only exercises the chunked branch.)"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pl_bert_tpu.ops.masked_ce import masked_lm_loss, masked_phoneme_loss
+
+    rng = np.random.default_rng(31)
+    Bv, Lv, Hv, Vv = 4, 32, 8, 64
+    hidden = jnp.asarray(rng.standard_normal((Bv, Lv, Hv)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((Hv, Vv)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(Vv) * 0.01, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, Vv, (Bv, Lv)), jnp.int32)
+    mask = jnp.asarray(rng.random((Bv, Lv)) < 0.15)
+    lengths = jnp.asarray([32, 30, 12, 32], jnp.int32)
+
+    logits = (jnp.dot(hidden, kernel) + bias).astype(jnp.float32)
+    expect = float(masked_phoneme_loss(logits, labels, mask, lengths))
+
+    mesh = _mesh_1x2()
+    k_sharded = jax.device_put(kernel, NamedSharding(mesh, P(None, "model")))
+    b_sharded = jax.device_put(bias, NamedSharding(mesh, P("model")))
+
+    for capacity in (16, 4):  # gather branch; overflow fallback branch
+        loss_fn = jax.jit(
+            lambda h, k, b: masked_lm_loss(
+                h, k, b, labels, mask, lengths,
+                capacity=capacity, chunk_size=8,
+            )
+        )
+        got = float(loss_fn(hidden, k_sharded, b_sharded))
+        assert abs(got - expect) < 1e-4, capacity
