@@ -143,3 +143,49 @@ def test_data_parallel_equals_single_device(tmp_path):
             break
 
     np.testing.assert_allclose(losses8, losses1, rtol=2e-4)
+
+
+def test_warm_start_from_pretrained_model(tmp_path):
+    """model_params.pretrained_model loads a step_N checkpoint's params
+    (optimizer state ignored, step counter fresh) — the reference's
+    warm-start semantics (train.py:274-276)."""
+    import jax
+
+    # run A: train a few steps and checkpoint
+    cfg_a = _write_config(tmp_path)
+    train({"config_path": cfg_a, "run_name": "warma"})
+    ckpt = str(tmp_path / "ckpt" / "warma" / "step_6")
+    assert os.path.exists(ckpt)
+
+    # run B: fresh trainer warm-started from A's checkpoint
+    cfg_b = _write_config(
+        tmp_path, model_params={"pretrained_model": ckpt},
+        training_params={"seed": 99},  # different init seed
+    )
+    config_b = Config.load(cfg_b)
+    trainer = Trainer(config_b, str(tmp_path / "runb"), False)
+    assert int(trainer.state.step) == 0  # fresh step counter
+
+    from pl_bert_tpu.models.albert import build_model, init_params
+    from pl_bert_tpu.training.checkpoint import load_params_only
+
+    template = init_params(
+        build_model(config_b.model_params, "fp32"), 64, seed=0
+    )
+    expect = load_params_only(ckpt, template)
+    got_leaf = np.asarray(
+        trainer.state.params["encoder"]["embeddings"]["word_embeddings"][
+            "embedding"
+        ]
+    )
+    exp_leaf = np.asarray(
+        expect["encoder"]["embeddings"]["word_embeddings"]["embedding"]
+    )
+    np.testing.assert_allclose(got_leaf, exp_leaf, atol=1e-7)
+
+    # and it is NOT the fresh seed-99 init
+    fresh = init_params(build_model(config_b.model_params, "fp32"), 64, seed=99)
+    fresh_leaf = np.asarray(
+        fresh["encoder"]["embeddings"]["word_embeddings"]["embedding"]
+    )
+    assert not np.allclose(got_leaf, fresh_leaf)
