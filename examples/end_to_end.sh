@@ -76,7 +76,10 @@ cfg = yaml.safe_load(open("$WORK/config.yml"))
 cfg["training_params"]["training_dataset"] = \
     "$WORK/prep/cleaned.phonemized.tokenized"
 tok = json.load(open("$WORK/prep/word_tokenizer/tokenizer.json"))
-cfg["model_params"]["num_token_vocab"] = tok["vocab_size"]
+# the grapheme label at separator positions is word_separator (87,
+# reference dataloader.py:67-68), so the head must cover it too
+sep = cfg.get("dataset_params", {}).get("word_separator", 87)
+cfg["model_params"]["num_token_vocab"] = max(tok["vocab_size"], sep + 1)
 yaml.safe_dump(cfg, open("$WORK/config_multitask.yml", "w"),
                allow_unicode=True)
 PY

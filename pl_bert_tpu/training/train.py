@@ -162,6 +162,16 @@ class Trainer:
         )
         self.tx = make_optimizer(tp)
         self.use_token_ids = mp.num_token_vocab > 0
+        if self.use_token_ids and mp.num_token_vocab <= dp.word_separator:
+            # separator positions carry word_separator as their grapheme
+            # label (reference: dataloader.py:67-68); a head smaller than
+            # that id would silently clamp every separator label
+            raise ValueError(
+                f"num_token_vocab ({mp.num_token_vocab}) must exceed "
+                f"dataset_params.word_separator ({dp.word_separator}): "
+                "separator positions use that id as their grapheme label "
+                "(reference: dataloader.py:67-68)"
+            )
 
         if dataset is None:
             dataset = load_training_dataset(
@@ -211,8 +221,11 @@ class Trainer:
                     raise ValueError(
                         f"dataset token_ids go up to {max_tid} but "
                         f"num_token_vocab is {mp.num_token_vocab} — set "
-                        "model_params.num_token_vocab to the tokenizer's "
-                        "vocab_size"
+                        "model_params.num_token_vocab to at least "
+                        "max(tokenizer vocab_size, word_separator + 1): "
+                        "separator positions carry the word_separator id "
+                        "as their grapheme label (reference: "
+                        "dataloader.py:67-68)"
                     )
             if dp.sequence_packing and is_main_process():
                 print(
@@ -261,8 +274,11 @@ class Trainer:
                     raise ValueError(
                         f"dataset token_ids go up to {max_tid} but "
                         f"num_token_vocab is {mp.num_token_vocab} — set "
-                        "model_params.num_token_vocab to the tokenizer's "
-                        "vocab_size"
+                        "model_params.num_token_vocab to at least "
+                        "max(tokenizer vocab_size, word_separator + 1): "
+                        "separator positions carry the word_separator id "
+                        "as their grapheme label (reference: "
+                        "dataloader.py:67-68)"
                     )
 
         # init params on host, then shard onto the mesh

@@ -240,7 +240,7 @@ def test_multitask_vocab_parallel_head_matches_model_axis_1(tmp_path):
         cfg = dataclasses.replace(
             cfg,
             model_params=dataclasses.replace(
-                cfg.model_params, num_token_vocab=64
+                cfg.model_params, num_token_vocab=128
             ),
         )
         trainer = Trainer(
