@@ -345,7 +345,6 @@ def run_inference(config) -> None:
 
     from pl_bert_tpu.models.albert import build_model, init_params
     from pl_bert_tpu.models.inference import PhonemeEncoder
-    from pl_bert_tpu.text.symbols import encode
 
     model = build_model(config.model_params, "fp32")
     params = init_params(model, SEQ, seed=0)["encoder"]
@@ -355,20 +354,14 @@ def run_inference(config) -> None:
     batches = []
     total_tokens = 0
     for b in range(4):
-        ids = np.zeros((BATCH, SEQ), np.int32)
-        lengths = np.zeros(BATCH, np.int32)
-        for i in range(BATCH):
-            text = " ".join(corpus[b * BATCH + i]["phonemes"])
-            row = encode(text)[:SEQ]
-            ids[i, : len(row)] = row
-            lengths[i] = len(row)
-        mask = (np.arange(SEQ)[None, :] < lengths[:, None]).astype(np.int32)
+        strings = [
+            " ".join(corpus[b * BATCH + i]["phonemes"]) for i in range(BATCH)
+        ]
+        ids, mask, lengths = enc.encode_batch(strings)
         batches.append((jnp.asarray(ids), jnp.asarray(mask)))
         total_tokens += int(lengths.sum())
 
-    def forward(ids, mask):
-        hidden, _ = enc._forward({"params": enc.params}, ids, mask)
-        return hidden
+    forward = enc.forward
 
     out = forward(*batches[0])
     float(jnp.sum(out[:1, :1].astype(jnp.float32)))  # sync

@@ -79,8 +79,11 @@ class PhonemeEncoder:
         )
 
     # --- inference ----------------------------------------------------------
-    def __call__(self, phoneme_strings: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        """→ (hidden_states [B, L, H] fp32, lengths [B])."""
+    def encode_batch(
+        self, phoneme_strings: list[str]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host side: phoneme strings → (ids [B, L], mask [B, L],
+        lengths [B]) int32 arrays, cropped/padded to max_seq_length."""
         b = len(phoneme_strings)
         ids = np.zeros((b, self.max_seq_length), np.int32)
         lengths = np.zeros(b, np.int32)
@@ -91,7 +94,18 @@ class PhonemeEncoder:
         mask = (
             np.arange(self.max_seq_length)[None, :] < lengths[:, None]
         ).astype(np.int32)
+        return ids, mask, lengths
+
+    def forward(self, ids, mask):
+        """Device side: the jitted encoder forward → hidden states
+        (device array, NOT fetched to host)."""
         hidden, _ = self._forward(
             {"params": self.params}, jnp.asarray(ids), jnp.asarray(mask)
         )
+        return hidden
+
+    def __call__(self, phoneme_strings: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """→ (hidden_states [B, L, H] fp32, lengths [B])."""
+        ids, mask, lengths = self.encode_batch(phoneme_strings)
+        hidden = self.forward(ids, mask)
         return np.asarray(hidden, dtype=np.float32), lengths

@@ -112,17 +112,21 @@ def main_phonemize(
 
 
 def _tokenize_record(record: dict, tokenizer) -> dict:
-    from pl_bert_tpu.text.normalize import separate_words_and_punctuation
-
-    tokens = separate_words_and_punctuation(record["text"])
-    ids = tokenizer.convert_tokens_to_ids(tokens)
-    # pair positionally with the phonemes column: phonemize_text emits at
-    # most one entry per words-and-punctuation token (a backend that
-    # merges words truncates the tail — same behavior as the reference's
-    # re-interleave, preprocess.py:66-107), so len(phonemes) <= len(ids)
-    # and truncation is the only adjustment ever needed
+    ids = tokenizer.encode(record["text"])
     n = len(record["phonemes"]) if "phonemes" in record else len(ids)
-    return {"token_ids": ids[:n]}
+    if len(ids) == n:
+        # 1:1 positional pairing with the phonemes column (phonemize_text
+        # emits one entry per words-and-punctuation token when the G2P
+        # backend is word-preserving)
+        return {"token_ids": ids, "token_alignment": "exact"}
+    # the backend merged/split words somewhere (espeak on digit runs):
+    # every pairing after the divergence point would be wrong, and the
+    # divergence point is unrecoverable here — label the whole record
+    # [UNK] rather than train the grapheme head on misaligned words
+    return {
+        "token_ids": [tokenizer.unk_token_id] * n,
+        "token_alignment": "mismatch",
+    }
 
 
 def main_tokenize(
@@ -155,24 +159,32 @@ def main_tokenize(
         tokenizer = WordTokenizer.load(tokenizer_dir)
         print(f"Loaded tokenizer ({tokenizer.vocab_size} words)")
     else:
-        from pl_bert_tpu.text.normalize import separate_words_and_punctuation
-
         save_to = tokenizer_dir or os.path.join(
             os.path.dirname(dataset_path) or ".", "word_tokenizer"
         )
         tokenizer = create_word_tokenizer(
             (r["text"] for r in dataset), output_dir=save_to,
-            # vocab over the SAME tokens _tokenize_record looks up
-            tokenize_fn=separate_words_and_punctuation,
+            # vocab over the SAME tokens encode() later looks up — the
+            # mode is persisted with the tokenizer
+            split_mode="words_and_punctuation",
         )
         print(
             f"Built tokenizer ({tokenizer.vocab_size} words) -> {save_to}"
         )
 
     print(f"Tokenizing {len(dataset)} samples")
-    return process_dataset(
+    base = os.path.dirname(dataset_path) or "."
+    if not os.path.isabs(output_dir):
+        output_dir = os.path.join(base, output_dir)
+    # stage-private shard root: an interrupted phonemize run leaves
+    # shard_N dirs in the dataset's directory that would otherwise be
+    # adopted as completed tokenize shards
+    shard_root = os.path.join(
+        base, f".shards_{os.path.basename(output_dir)}"
+    )
+    out = process_dataset(
         dataset=dataset,
-        root_directory=os.path.dirname(dataset_path) or ".",
+        root_directory=shard_root,
         process_fn=_tokenize_record,
         process_args=tokenizer,
         output_dir=output_dir,
@@ -181,6 +193,20 @@ def main_tokenize(
         max_try_count=pp.max_try_count,
         num_shards=min(pp.num_shards, 100),
     )
+    try:
+        os.rmdir(shard_root)
+    except OSError:
+        pass
+    mismatched = sum(
+        1 for r in load_processed_dataset(out)
+        if r.get("token_alignment") == "mismatch"
+    )
+    if mismatched:
+        print(
+            f"WARNING: {mismatched} records had G2P word-count drift and "
+            "were labeled [UNK] (token_alignment='mismatch')"
+        )
+    return out
 
 
 def main_diacritize(

@@ -134,6 +134,17 @@ def load_training_dataset(name: str, split: str, token_vocab: int = 0):
     return load_dataset(name, split=split)
 
 
+def _check_token_vocab(max_tid: int, num_token_vocab: int) -> None:
+    if max_tid >= num_token_vocab:
+        raise ValueError(
+            f"dataset token_ids go up to {max_tid} but num_token_vocab is "
+            f"{num_token_vocab} — set model_params.num_token_vocab to at "
+            "least max(tokenizer vocab_size, word_separator + 1): separator "
+            "positions carry the word_separator id as their grapheme label "
+            "(reference: dataloader.py:67-68)"
+        )
+
+
 class Trainer:
     """Wires mesh, model, optimizer, data and checkpoints together."""
 
@@ -216,17 +227,9 @@ class Trainer:
             if self.use_token_ids:
                 # out-of-range grapheme labels would be SILENTLY clamped
                 # by the CE's take_along_axis — fail loudly instead
-                max_tid = int(self.packed.token_ids.max())
-                if max_tid >= mp.num_token_vocab:
-                    raise ValueError(
-                        f"dataset token_ids go up to {max_tid} but "
-                        f"num_token_vocab is {mp.num_token_vocab} — set "
-                        "model_params.num_token_vocab to at least "
-                        "max(tokenizer vocab_size, word_separator + 1): "
-                        "separator positions carry the word_separator id "
-                        "as their grapheme label (reference: "
-                        "dataloader.py:67-68)"
-                    )
+                _check_token_vocab(
+                    int(self.packed.token_ids.max()), mp.num_token_vocab
+                )
             if dp.sequence_packing and is_main_process():
                 print(
                     f"sequence packing: {len(dataset)} samples → "
@@ -263,23 +266,21 @@ class Trainer:
                 seed=tp.seed,
             )
             if self.use_token_ids:
-                # sampled out-of-range check (full scan would walk the
-                # whole corpus at startup); the packed path checks all
-                max_tid = max(
-                    (max(dataset[i].get("token_ids") or [0])
-                     for i in range(min(len(dataset), 10_000))),
-                    default=0,
-                )
-                if max_tid >= mp.num_token_vocab:
-                    raise ValueError(
-                        f"dataset token_ids go up to {max_tid} but "
-                        f"num_token_vocab is {mp.num_token_vocab} — set "
-                        "model_params.num_token_vocab to at least "
-                        "max(tokenizer vocab_size, word_separator + 1): "
-                        "separator positions carry the word_separator id "
-                        "as their grapheme label (reference: "
-                        "dataloader.py:67-68)"
-                    )
+                # sampled checks (a full scan would walk the whole corpus
+                # at startup); the packed path checks every row
+                max_tid = 0
+                for i in range(min(len(dataset), 10_000)):
+                    ids = dataset[i].get("token_ids")
+                    if not ids:
+                        raise ValueError(
+                            "multi-task training needs 'token_ids' in "
+                            f"every dataset row, but row {i} has none — "
+                            "run the tokenize preprocessing stage "
+                            "(reference expects this column at "
+                            "dataloader.py:40)"
+                        )
+                    max_tid = max(max_tid, max(ids))
+                _check_token_vocab(max_tid, mp.num_token_vocab)
 
         # init params on host, then shard onto the mesh
         params = init_params(self.model, dp.max_seq_length, seed=tp.seed)

@@ -149,12 +149,43 @@ def test_tokenize_stage_aligns_token_ids_with_phonemes(tmp_path):
         decoded = tok.convert_ids_to_tokens(got["token_ids"])
         assert decoded == separate_words_and_punctuation(rec["text"])
 
-    # loading the tokenizer again must reuse it (not rebuild)
+    # loading the tokenizer must actually REUSE it: doctor the saved
+    # vocab and check the doctored ids come out (a rebuild would not)
+    doctored = WordTokenizer(
+        ["[UNK]", "[PAD]", "[CLS]", "[SEP]", "[MASK]", "مرحبا"],
+        split_mode="words_and_punctuation",
+    )
+    doctored.save(str(tmp_path / "tok2"))
     out2 = main_tokenize(
         config, ds_path, output_dir=str(tmp_path / "tokenized2"),
-        tokenizer_dir=str(tmp_path / "tok"),
+        tokenizer_dir=str(tmp_path / "tok2"),
     )
     result2 = load_processed_dataset(out2)
-    assert [r["token_ids"] for r in result2] == [
-        by_id[r["id"]]["token_ids"] for r in result2
-    ]
+    row = next(r for r in result2 if r["id"] == "2")  # "مرحبا كتاب قلم"
+    assert row["token_ids"] == [5, 0, 0]  # only مرحبا in the doctored vocab
+
+    # the persisted split_mode survives load (encode() must not regress
+    # to whitespace split: 'word،' would hit [UNK] again)
+    tok_loaded = WordTokenizer.load(str(tmp_path / "tok"))
+    assert tok_loaded.split_mode == "words_and_punctuation"
+    assert tok_loaded.encode(texts[0]) == by_id["0"]["token_ids"]
+
+
+def test_tokenize_stage_flags_g2p_word_count_drift(tmp_path):
+    """A record whose phonemes column diverged from the token count (the
+    G2P backend merged words) gets all-[UNK] labels and an explicit
+    token_alignment='mismatch' marker instead of silently misaligned
+    grapheme labels."""
+    from pl_bert_tpu.preprocess.pipeline import _tokenize_record
+    from pl_bert_tpu.text.word_tokenizer import create_word_tokenizer
+
+    tok = create_word_tokenizer(
+        ["مرحبا كتاب قلم"], split_mode="words_and_punctuation"
+    )
+    good = {"text": "مرحبا كتاب قلم", "phonemes": ["a", "b", "c"]}
+    assert _tokenize_record(good, tok)["token_alignment"] == "exact"
+
+    merged = {"text": "مرحبا كتاب قلم", "phonemes": ["ab", "c"]}
+    out = _tokenize_record(merged, tok)
+    assert out["token_alignment"] == "mismatch"
+    assert out["token_ids"] == [tok.unk_token_id] * 2
