@@ -202,3 +202,51 @@ def test_multitask_ondevice_requires_token_ids(tmp_path):
     data = [{"phonemes": r["phonemes"]} for r in _corpus()]  # no token_ids
     with pytest.raises(ValueError, match="token_ids"):
         Trainer(config, str(tmp_path / "run"), False, dataset=data)
+
+
+def test_trainer_rejects_head_smaller_than_separator(tmp_path):
+    import pytest as _pytest
+
+    from pl_bert_tpu.config import Config
+    from pl_bert_tpu.training.train import Trainer, make_synthetic_corpus
+
+    cfg = Config.from_dict(
+        {
+            "training_params": {"output_dir": str(tmp_path), "batch_size": 8},
+            "dataset_params": {"max_seq_length": 64},
+            "model_params": {
+                "hidden_size": 32, "num_attention_heads": 2,
+                "intermediate_size": 64, "max_position_embeddings": 64,
+                "num_hidden_layers": 1, "embedding_size": 16,
+                "attention_impl": "xla",
+                "num_token_vocab": 64,  # <= word_separator 87
+            },
+        }
+    )
+    corpus = make_synthetic_corpus(8, token_vocab=64)
+    with _pytest.raises(ValueError, match="word_separator"):
+        Trainer(cfg, str(tmp_path / "run"), False, dataset=corpus)
+
+
+def test_trainer_rejects_dataset_without_token_ids(tmp_path):
+    import pytest as _pytest
+
+    from pl_bert_tpu.config import Config
+    from pl_bert_tpu.training.train import Trainer, make_synthetic_corpus
+
+    cfg = Config.from_dict(
+        {
+            "training_params": {"output_dir": str(tmp_path), "batch_size": 8},
+            "dataset_params": {"max_seq_length": 64},
+            "model_params": {
+                "hidden_size": 32, "num_attention_heads": 2,
+                "intermediate_size": 64, "max_position_embeddings": 64,
+                "num_hidden_layers": 1, "embedding_size": 16,
+                "attention_impl": "xla",
+                "num_token_vocab": 100,
+            },
+        }
+    )
+    corpus = make_synthetic_corpus(8)  # NO token_ids column
+    with _pytest.raises(ValueError, match="token_ids"):
+        Trainer(cfg, str(tmp_path / "run"), False, dataset=corpus)
