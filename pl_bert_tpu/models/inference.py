@@ -28,12 +28,18 @@ class PhonemeEncoder:
         model_params: ModelParams,
         max_seq_length: int = 512,
         mixed_precision: str = "bf16",
+        batch_size: int | None = None,
     ) -> None:
+        """``batch_size``: pad every call's batch dimension to this fixed
+        size so XLA compiles the forward ONCE — without it each distinct
+        number of input strings triggers a fresh (~seconds) compile, the
+        classic serving footgun under jit's static shapes."""
         dtype = jnp.bfloat16 if mixed_precision == "bf16" else jnp.float32
         self.cfg = AlbertConfig.from_params(model_params, dtype=dtype)
         self.model = AlbertModel(self.cfg)
         self.params = params
         self.max_seq_length = max_seq_length
+        self.batch_size = batch_size
         self._forward = jax.jit(
             functools.partial(self.model.apply, deterministic=True)
         )
@@ -83,8 +89,15 @@ class PhonemeEncoder:
         self, phoneme_strings: list[str]
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host side: phoneme strings → (ids [B, L], mask [B, L],
-        lengths [B]) int32 arrays, cropped/padded to max_seq_length."""
-        b = len(phoneme_strings)
+        lengths [B]) int32 arrays, cropped/padded to max_seq_length.
+        With a fixed ``batch_size``, B is padded up to it (extra rows are
+        empty; lengths stays len(phoneme_strings) long)."""
+        n = len(phoneme_strings)
+        b = n if self.batch_size is None else self.batch_size
+        if n > b:
+            raise ValueError(
+                f"{n} strings exceed the encoder's fixed batch_size {b}"
+            )
         ids = np.zeros((b, self.max_seq_length), np.int32)
         lengths = np.zeros(b, np.int32)
         for i, text in enumerate(phoneme_strings):
@@ -94,7 +107,7 @@ class PhonemeEncoder:
         mask = (
             np.arange(self.max_seq_length)[None, :] < lengths[:, None]
         ).astype(np.int32)
-        return ids, mask, lengths
+        return ids, mask, lengths[:n]
 
     def forward(self, ids, mask):
         """Device side: the jitted encoder forward → hidden states
@@ -105,7 +118,11 @@ class PhonemeEncoder:
         return hidden
 
     def __call__(self, phoneme_strings: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        """→ (hidden_states [B, L, H] fp32, lengths [B])."""
+        """→ (hidden_states [B, L, H] fp32, lengths [B]); B is the number
+        of input strings regardless of any fixed batch padding."""
         ids, mask, lengths = self.encode_batch(phoneme_strings)
         hidden = self.forward(ids, mask)
-        return np.asarray(hidden, dtype=np.float32), lengths
+        return (
+            np.asarray(hidden, dtype=np.float32)[: len(phoneme_strings)],
+            lengths,
+        )

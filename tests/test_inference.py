@@ -60,3 +60,35 @@ def test_encoder_from_hf_export(tmp_path):
     hidden, lengths = enc(["bajt ʃams"])
     assert hidden.shape == (1, 64, 64)
     assert np.isfinite(hidden).all()
+
+
+def test_fixed_batch_padding_matches_unpadded():
+    """batch_size pins the compiled shape; padded rows must not change
+    the real rows' hidden states, and outputs slice back to the input
+    count."""
+    import pytest as _pytest
+
+    from pl_bert_tpu.config import ModelParams
+    from pl_bert_tpu.models.albert import build_model, init_params
+    from pl_bert_tpu.models.inference import PhonemeEncoder
+
+    mp = ModelParams(
+        hidden_size=32, num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32, num_hidden_layers=1, embedding_size=16,
+        dropout=0.0, attention_impl="xla",
+    )
+    params = init_params(build_model(mp, "fp32"), 32, seed=0)["encoder"]
+    strings = ["ab cd", "efg"]
+
+    plain = PhonemeEncoder(params, mp, 32, mixed_precision="fp32")
+    fixed = PhonemeEncoder(
+        params, mp, 32, mixed_precision="fp32", batch_size=8
+    )
+    h_plain, l_plain = plain(strings)
+    h_fixed, l_fixed = fixed(strings)
+    assert h_fixed.shape == h_plain.shape == (2, 32, 32)
+    assert list(l_fixed) == list(l_plain)
+    np.testing.assert_allclose(h_fixed, h_plain, atol=1e-5)
+
+    with _pytest.raises(ValueError, match="fixed batch_size"):
+        fixed(["x"] * 9)
