@@ -129,7 +129,7 @@ def _build(
     tp = config.training_params
     model = build_model(
         config.model_params, mixed_precision="bf16",
-        remat=attention_impl == "xla",
+        remat=attention_impl == "xla", mesh=mesh,
     )
     tx = make_optimizer(tp)
     params = init_params(model, SEQ, seed=0)

@@ -63,6 +63,11 @@ class TrainingParams:
     batch_size: int = 96
     save_interval: int = 1000
     log_interval: int = 10
+    # Accepted for reference-config compatibility ONLY (reference:
+    # configs/config.yml:19 'number of GPUs'). Under JAX the process
+    # count comes from the launch environment (jax.distributed /
+    # JAX_PROCESS_COUNT), never from config; Trainer warns when this
+    # disagrees with the actual jax.process_count().
     num_process: int = 1
     num_steps: int = 1_000_000
     learning_rate: float = 7e-5

@@ -27,15 +27,25 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from pl_bert_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-# decorrelates the in-kernel dropout streams of different model shards:
-# shard r offsets its PRNG seed by r * _SEED_STRIDE so head h on shard 0
-# and head h on shard 1 never share a mask (the per-head index inside
-# the kernel is local to the shard)
+# decorrelates the in-kernel dropout streams of different mesh shards:
+# the kernels derive per-row PRNG streams from shard-LOCAL program_id, so
+# without an explicit offset shard (d, r) and shard (d', r') would
+# regenerate identical masks. Each (data, model) shard therefore offsets
+# its seed by (r + m * d) * _SEED_STRIDE — model-shard offset so head h
+# on shard 0 and head h on shard 1 never share a mask, data-shard offset
+# so different batch slices keep dropout diversity.
 _SEED_STRIDE = 1 << 20
 
 
 def model_axis_size(mesh: Mesh | None) -> int:
     return int(mesh.shape[MODEL_AXIS]) if mesh is not None else 1
+
+
+def _shard_seed_offset(m: int):
+    """Per-(data, model)-shard seed offset, unique across the whole mesh."""
+    r = jax.lax.axis_index(MODEL_AXIS).astype(jnp.int32)
+    d = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+    return (r + jnp.int32(m) * d) * jnp.int32(_SEED_STRIDE)
 
 
 def tp_attention_block(
@@ -68,7 +78,7 @@ def tp_attention_block(
     seg = segment_ids if has_seg else jnp.zeros((B, L), jnp.int32)
 
     def local(x, wq, bq, wk, bk, wv, bv, wo, bias, seg, seed):
-        seed = seed + jax.lax.axis_index(MODEL_AXIS).astype(jnp.int32) * _SEED_STRIDE
+        seed = seed + _shard_seed_offset(m)
         part = attention_block(
             x, wq, bq, wk, bk, wv, bv, wo,
             jnp.zeros((E,), jnp.float32),  # bo added once, after the psum
@@ -110,6 +120,7 @@ def tp_flash_attention(
     is independent per head)."""
     from pl_bert_tpu.ops.flash_attention import flash_attention
 
+    m = model_axis_size(mesh)
     B, L, H, D = q.shape
     if bias is None:
         bias = jnp.zeros((B, 1, 1, L), jnp.float32)
@@ -124,7 +135,7 @@ def tp_flash_attention(
     seg = segment_ids if has_seg else jnp.zeros((B, L), jnp.int32)
 
     def local(q, k, v, bias, seg, seed):
-        seed = seed + jax.lax.axis_index(MODEL_AXIS).astype(jnp.int32) * _SEED_STRIDE
+        seed = seed + _shard_seed_offset(m)
         return flash_attention(
             q, k, v, bias, seg if has_seg else None, out_dtype=out_dtype,
             dropout_rate=rate, dropout_seed=seed if has_seed else None,
@@ -150,8 +161,11 @@ def tp_dropout_add_layernorm(
 ):
     """shard_map-wrapped ops.fused_ln.dropout_add_layernorm: purely
     row-local math, so each shard runs the kernel on its data slice and
-    model shards replicate it (same seed everywhere keeps them bitwise
-    identical, which the out_spec's replication requires)."""
+    model shards replicate it. The seed is offset by the DATA-axis index
+    only: data shards get decorrelated dropout masks for their distinct
+    batch slices, while model shards (which hold the SAME batch slice)
+    keep the same seed and stay bitwise identical, as the out_spec's
+    replication over ``model`` requires."""
     from pl_bert_tpu.ops.fused_ln import dropout_add_layernorm
 
     has_seed = seed is not None
@@ -161,6 +175,8 @@ def tp_dropout_add_layernorm(
     )
 
     def local(x, residual, scale, bias, seed_arr):
+        d = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        seed_arr = seed_arr + d * jnp.int32(_SEED_STRIDE)
         return dropout_add_layernorm(
             x, residual, scale, bias,
             seed_arr if has_seed else None,

@@ -161,7 +161,19 @@ def separate_text_into_segments(
 def phonemize_text(text: str, backend: G2PBackend) -> list[str]:
     """Text → per-token phoneme strings with punctuation preserved in
     place (reference: preprocess.py:66-107). Output list has one entry
-    per original word/punctuation token."""
+    per original word/punctuation token.
+
+    DELIBERATE PARITY FLAW — consecutive punctuation drops: for tokens
+    like ``[w1, ',', ',', w2]`` the re-interleave emits only ONE comma
+    and the following words' phonemes shift one slot earlier, because a
+    punctuation token is emitted only at a segment *boundary* index and
+    consecutive punctuation creates one boundary. This is bit-faithful
+    to the reference's own logic (reference: preprocess.py:88-107 has
+    the identical behavior) and is pinned by
+    tests/test_preprocess.py::test_consecutive_punctuation_parity_flaw —
+    do NOT "fix" it without breaking parity intentionally and updating
+    that test.
+    """
     from pl_bert_tpu.text.normalize import separate_words_and_punctuation
 
     tokens = separate_words_and_punctuation(text)

@@ -158,6 +158,15 @@ class Trainer:
             config.dataset_params,
         )
 
+        if tp.num_process != jax.process_count() and is_main_process():
+            # reference-compat key only (reference configs/config.yml:19);
+            # under JAX the process count comes from the launch
+            # environment, not config — flag the disagreement loudly
+            print(
+                f"WARNING: training_params.num_process={tp.num_process} is "
+                f"ignored; actual jax.process_count()={jax.process_count()} "
+                "(launch with jax.distributed to change it)"
+            )
         self.mesh = make_mesh(tp.data_axis, tp.model_axis)
         data_size = self.mesh.shape["data"]
         if tp.batch_size % data_size:
@@ -266,10 +275,12 @@ class Trainer:
                 seed=tp.seed,
             )
             if self.use_token_ids:
-                # sampled checks (a full scan would walk the whole corpus
-                # at startup); the packed path checks every row
+                # full-corpus scan (cheap: one max() over int lists) so an
+                # out-of-range id in ANY row fails loudly here instead of
+                # being silently clamped by the CE's take_along_axis —
+                # same guarantee the packed path provides
                 max_tid = 0
-                for i in range(min(len(dataset), 10_000)):
+                for i in range(len(dataset)):
                     ids = dataset[i].get("token_ids")
                     if not ids:
                         raise ValueError(

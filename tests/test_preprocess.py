@@ -51,6 +51,80 @@ def test_phonemize_punct_only_and_empty():
     assert phonemize_text("hi?!", IdentityG2P()) == ["hi", "?"]
 
 
+def test_consecutive_punctuation_parity_flaw():
+    """Pin the DELIBERATE parity flaw (VERDICT r2 item 5): consecutive
+    punctuation tokens collapse to one and later words shift a slot
+    earlier, exactly as the reference's re-interleave does (reference:
+    preprocess.py:88-107 — one punctuation emitted per segment-boundary
+    index). A future 'fix' must consciously break parity and update this
+    test."""
+    # [w1, '،', '،', w2] → one comma survives, w2 shifts earlier
+    assert phonemize_text("ا ، ، ب", IdentityG2P()) == ["ا", "،", "ب"]
+    # triple punctuation: still exactly one boundary → one comma
+    assert phonemize_text("ا ، ، ، ب", IdentityG2P()) == ["ا", "،", "ب"]
+    # mixed consecutive punctuation keeps only the FIRST one
+    assert phonemize_text("ا ؟ ! ب", IdentityG2P()) == ["ا", "؟", "ب"]
+
+
+def _load_reference_interleave():
+    """Extract the reference's pure re-interleave functions via ast —
+    /root/reference/preprocess.py imports phonemizer/pebble/datasets at
+    module top (absent here), so the two functions are exec'd standalone
+    with our (already parity-tested) tokenizer injected."""
+    import ast
+
+    src = open("/root/reference/preprocess.py", encoding="utf-8").read()
+    tree = ast.parse(src)
+    wanted = {"separate_text_into_segments", "phonemize_text"}
+    mod = ast.Module(
+        body=[
+            n for n in tree.body
+            if isinstance(n, ast.FunctionDef) and n.name in wanted
+        ],
+        type_ignores=[],
+    )
+    from pl_bert_tpu.text.normalize import separate_words_and_punctuation
+    from pl_bert_tpu.text.symbols import PUNCTUATION
+
+    ns = {
+        "separate_words_and_punctuation": separate_words_and_punctuation,
+        "PUNCTUATION": PUNCTUATION,
+        "List": list, "Tuple": tuple, "Set": set,
+    }
+    exec(compile(mod, "/root/reference/preprocess.py", "exec"), ns)
+    return ns["phonemize_text"]
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/preprocess.py"),
+    reason="reference checkout absent",
+)
+def test_interleave_differential_vs_reference():
+    """Differential: our phonemize_text output equals the actual
+    reference code's on punctuation-heavy inputs, including the
+    consecutive-punctuation drop."""
+    ref_phonemize = _load_reference_interleave()
+
+    class _RefBackendAdapter:
+        # the reference calls phonemizer_instance.phonemize([seg], strip=True)
+        def phonemize(self, texts, strip=True):
+            return [t.lower() for t in texts]
+
+    cases = [
+        "Kayf halak? Bikhayr.",
+        "ا ، ، ب",
+        "ا ؟ ! ب",
+        "hi?!",
+        "?!",
+        "",
+        "ا ، ب ، ، ج ؟",
+    ]
+    for text in cases:
+        ours = phonemize_text(text, IdentityG2P())
+        theirs = ref_phonemize(text, _RefBackendAdapter())
+        assert ours == theirs, (text, ours, theirs)
+
+
 def test_diacritize_text_reassembly():
     out = diacritize_text("مرحبا، كيف حالك؟", IdentityDiacritizer())
     assert out == "مرحبا، كيف حالك؟".replace("، ", "،") or "مرحبا" in out
