@@ -209,6 +209,50 @@ def main_tokenize(
     return out
 
 
+def main_pack(
+    config: Config,
+    dataset_path: str,
+    output_dir: str | None = None,
+    shard_rows: int = 65536,
+) -> str:
+    """Pack a phonemized (optionally tokenized) dataset into the
+    memory-mapped training store (data/packed_store.py): the native C++
+    packer runs ONCE here instead of at every Trainer init, and training
+    then memory-maps the shards with bounded RSS — the stage SURVEY §7
+    stage 3 calls for in place of the reference's ``save_to_disk``
+    (reference: preprocess.py:364-371)."""
+    from pl_bert_tpu.data.packed_store import write_packed_store
+    from pl_bert_tpu.preprocess.shard_engine import iter_processed_dataset
+
+    dp = config.dataset_params
+    if output_dir is None:
+        output_dir = f"{os.path.basename(dataset_path)}.packed"
+    if not os.path.isabs(output_dir):
+        output_dir = os.path.join(
+            os.path.dirname(dataset_path) or ".", output_dir
+        )
+    print(f"Packing {dataset_path} -> {output_dir} "
+          f"(L={dp.max_seq_length}, sequence_packing={dp.sequence_packing})")
+    out = write_packed_store(
+        iter_processed_dataset(dataset_path),
+        output_dir,
+        max_seq_length=dp.max_seq_length,
+        token_separator=dp.word_separator,
+        sequence_packing=dp.sequence_packing,
+        shard_rows=shard_rows,
+    )
+    import json
+
+    with open(os.path.join(out, "packed_meta.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    print(
+        f"Packed store: {meta['num_rows']} rows / {meta['num_samples']} "
+        f"samples, {len(meta['shards'])} shards, "
+        f"{meta['num_long_rows']} long rows"
+    )
+    return out
+
+
 def main_diacritize(
     config: Config,
     dataset_path: str,
@@ -261,11 +305,11 @@ def main(argv=None) -> None:
     parser.add_argument("--local_dataset_path", type=str, default=None)
     parser.add_argument(
         "--stage",
-        choices=["clean", "phonemize", "tokenize", "diacritize", "all"],
+        choices=["clean", "phonemize", "tokenize", "pack", "diacritize", "all"],
         default="all",
     )
     parser.add_argument("--dataset_path", type=str, default=None,
-                        help="input for phonemize/tokenize/diacritize stages")
+                        help="input for phonemize/tokenize/pack/diacritize stages")
     parser.add_argument("--tokenizer_dir", type=str, default=None,
                         help="load (or save) the word tokenizer here "
                              "(tokenize stage)")
@@ -284,6 +328,13 @@ def main(argv=None) -> None:
             parser.error("--stage tokenize requires --dataset_path "
                          "(a phonemized dataset)")
         main_tokenize(config, cleaned, tokenizer_dir=args.tokenizer_dir)
+    if args.stage == "pack":
+        # memory-mapped training store; input = a phonemized (optionally
+        # tokenized) dataset
+        if not cleaned:
+            parser.error("--stage pack requires --dataset_path "
+                         "(a phonemized dataset)")
+        main_pack(config, cleaned)
     if args.stage in ("diacritize", "all"):
         diacritized = main_diacritize(config, cleaned)
         main_phonemize(config, diacritized)

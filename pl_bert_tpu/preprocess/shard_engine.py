@@ -176,6 +176,23 @@ def load_processed_dataset(path: str) -> list[dict]:
     return _load_records(path)
 
 
+def iter_processed_dataset(path: str):
+    """Stream a dataset written by :func:`process_dataset` one record at
+    a time — constant memory regardless of corpus size (the pack stage
+    uses this to keep the writer's RSS flat)."""
+    import json
+
+    with open(os.path.join(path, "records.jsonl"), encoding="utf-8") as f:
+        for line in f:
+            if line.strip():
+                yield json.loads(line)
+
+
+def count_processed_dataset(path: str) -> int:
+    with open(os.path.join(path, "records.jsonl"), encoding="utf-8") as f:
+        return sum(1 for line in f if line.strip())
+
+
 def process_dataset(
     dataset: Iterable[dict],
     root_directory: str,

@@ -110,7 +110,15 @@ def load_checkpoint(
 
 def load_params_only(path: str, params_template: Any) -> Any:
     """Warm-start: restore params only, ignore optimizer state
-    (reference pretrained_model semantics, train.py:274-276)."""
+    (reference pretrained_model semantics, train.py:274-276). Accepts
+    both this build's orbax ``step_N`` directories and the reference's
+    torch ``step_N.pth`` pickles (reference: train.py:412-425), so a
+    published reference checkpoint continues directly on TPU."""
+    if os.path.isfile(path) and path.endswith((".pth", ".pt")):
+        from pl_bert_tpu.export.from_torch import import_reference_checkpoint
+
+        params, _, _ = import_reference_checkpoint(path, params_template)
+        return params
     with ocp.PyTreeCheckpointer() as ckptr:
         raw = ckptr.restore(os.path.abspath(path))
     params = serialization.from_state_dict(params_template, raw["params"])

@@ -118,6 +118,12 @@ def load_training_dataset(name: str, split: str, token_vocab: int = 0):
         n = int(name.split(":", 1)[1]) if ":" in name else 2048
         return make_synthetic_corpus(n, token_vocab=token_vocab)
     if os.path.isdir(name):
+        from pl_bert_tpu.data.packed_store import is_packed_store
+
+        if is_packed_store(name):  # output of the pack preprocessing stage
+            from pl_bert_tpu.data.packed_store import open_packed_store
+
+            return open_packed_store(name)
         jsonl = os.path.join(name, "records.jsonl")
         if os.path.exists(jsonl):  # output of pl_bert_tpu.preprocess
             from pl_bert_tpu.preprocess.shard_engine import load_processed_dataset
@@ -143,6 +149,44 @@ def _check_token_vocab(max_tid: int, num_token_vocab: int) -> None:
             "positions carry the word_separator id as their grapheme label "
             "(reference: dataloader.py:67-68)"
         )
+
+
+def _adopt_packed_store(store, tp, dp):
+    """Validate a memory-mapped packed store against this run's config —
+    the store was packed with a specific (L, separator, kind) and
+    silently training against a different config would corrupt
+    semantics."""
+    from pl_bert_tpu.data.packed_store import MemmapPackedDataset
+
+    meta = store.meta
+    want_kind = "packed_rows" if dp.sequence_packing else "rows"
+    if meta["kind"] != want_kind:
+        raise ValueError(
+            f"packed store kind={meta['kind']!r} but the config asks for "
+            f"{want_kind!r} (dataset_params.sequence_packing="
+            f"{dp.sequence_packing}) — re-run the pack stage with the "
+            "matching config"
+        )
+    if meta["max_seq_length"] != dp.max_seq_length:
+        raise ValueError(
+            f"packed store was packed at max_seq_length="
+            f"{meta['max_seq_length']} but the config says "
+            f"{dp.max_seq_length} — re-run the pack stage"
+        )
+    if meta["token_separator"] != dp.word_separator:
+        raise ValueError(
+            f"packed store token_separator={meta['token_separator']} != "
+            f"dataset_params.word_separator={dp.word_separator} — re-run "
+            "the pack stage"
+        )
+    if isinstance(store, MemmapPackedDataset):
+        store.seed = tp.seed  # the per-epoch crop stream keys off it
+    if is_main_process():
+        print(
+            f"memory-mapped packed store: {meta['num_rows']} rows in "
+            f"{len(meta['shards'])} shards from {store.path}"
+        )
+    return store
 
 
 class Trainer:
@@ -197,10 +241,20 @@ class Trainer:
             dataset = load_training_dataset(
                 tp.training_dataset, tp.split, token_vocab=mp.num_token_vocab
             )
+        from pl_bert_tpu.data.packed_store import _MemmapStoreBase
+
+        is_store = isinstance(dataset, _MemmapStoreBase)
         self.ondevice_masking = dp.ondevice_masking
         self.masking_params = None
         if dp.sequence_packing and not dp.ondevice_masking:
             raise ValueError("sequence_packing requires ondevice_masking")
+        if is_store and not dp.ondevice_masking:
+            raise ValueError(
+                "a packed store holds pre-encoded arrays, which only the "
+                "on-device masking path consumes — set "
+                "dataset_params.ondevice_masking: true (or point "
+                "training_dataset at the un-packed jsonl dataset)"
+            )
         if self.ondevice_masking:
             from pl_bert_tpu.data.masking import MaskingParams
             from pl_bert_tpu.data.packed import (
@@ -216,17 +270,20 @@ class Trainer:
                 max_seq_length=dp.max_seq_length,
                 word_separator=dp.word_separator,
             )
-            packed_cls = (
-                PackedSequenceDataset if dp.sequence_packing
-                else PackedPhonemeDataset
-            )
-            # FFD packing is deterministic; crop RNG keys off the seed.
-            # token_separator: the grapheme label id at separator
-            # positions (reference: dataloader.py:67-68)
-            kwargs = {"token_separator": dp.word_separator}
-            if not dp.sequence_packing:
-                kwargs["seed"] = tp.seed
-            self.packed = packed_cls(dataset, dp.max_seq_length, **kwargs)
+            if is_store:
+                self.packed = _adopt_packed_store(dataset, tp, dp)
+            else:
+                packed_cls = (
+                    PackedSequenceDataset if dp.sequence_packing
+                    else PackedPhonemeDataset
+                )
+                # FFD packing is deterministic; crop RNG keys off the seed.
+                # token_separator: the grapheme label id at separator
+                # positions (reference: dataloader.py:67-68)
+                kwargs = {"token_separator": dp.word_separator}
+                if not dp.sequence_packing:
+                    kwargs["seed"] = tp.seed
+                self.packed = packed_cls(dataset, dp.max_seq_length, **kwargs)
             if self.use_token_ids and not self.packed.has_tokens:
                 raise ValueError(
                     "multi-task training with ondevice_masking needs "
@@ -235,13 +292,20 @@ class Trainer:
                 )
             if self.use_token_ids:
                 # out-of-range grapheme labels would be SILENTLY clamped
-                # by the CE's take_along_axis — fail loudly instead
-                _check_token_vocab(
-                    int(self.packed.token_ids.max()), mp.num_token_vocab
+                # by the CE's take_along_axis — fail loudly instead; the
+                # store records the full-corpus max at pack time
+                max_tid = (
+                    int(self.packed.meta["max_token_id"]) if is_store
+                    else int(self.packed.token_ids.max())
                 )
+                _check_token_vocab(max_tid, mp.num_token_vocab)
             if dp.sequence_packing and is_main_process():
+                n_samples = (
+                    self.packed.meta["num_samples"] if is_store
+                    else len(dataset)
+                )
                 print(
-                    f"sequence packing: {len(dataset)} samples → "
+                    f"sequence packing: {n_samples} samples → "
                     f"{len(self.packed)} rows "
                     f"({self.packed.packing_efficiency:.0%} token occupancy)"
                 )
