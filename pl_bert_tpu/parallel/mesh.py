@@ -90,7 +90,24 @@ def param_shardings(mesh: Mesh, params) -> dict:
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+def put_global(value, sharding: NamedSharding):
+    """``device_put`` that also works when ``sharding`` spans processes.
+
+    Multi-host contract: every process holds the SAME full (global) host
+    array — true for this build's deterministic data pipeline (batches
+    derive from (seed, epoch) Philox streams over a shared store) and
+    for host-initialized/restored params — and each process contributes
+    only its addressable shards. Single-process keeps the plain
+    ``device_put`` fast path."""
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    value = np.asarray(value)
+    return jax.make_array_from_callback(
+        value.shape, sharding, lambda idx: value[idx]
+    )
+
+
 def shard_params(params, mesh: Mesh):
     """Place params on the mesh according to the rules."""
     shardings = param_shardings(mesh, params)
-    return jax.tree.map(jax.device_put, params, shardings)
+    return jax.tree.map(put_global, params, shardings)

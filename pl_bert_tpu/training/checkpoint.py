@@ -68,7 +68,7 @@ def save_checkpoint(
     }
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
-    if keep > 0:
+    if keep > 0 and jax.process_index() == 0:  # one janitor per cluster
         found = sorted(
             int(m.group(1))
             for name in os.listdir(log_dir)
@@ -80,11 +80,14 @@ def save_checkpoint(
 
 
 def _place_like(template: Any, tree: Any) -> Any:
-    """Device_put restored leaves onto the template's shardings."""
+    """Place restored leaves onto the template's shardings (multi-process
+    safe: every process restores the full array from disk and contributes
+    its addressable shards)."""
+    from pl_bert_tpu.parallel.mesh import put_global
 
     def place(tmpl, arr):
         if hasattr(tmpl, "sharding"):
-            return jax.device_put(
+            return put_global(
                 np.asarray(arr, dtype=tmpl.dtype), tmpl.sharding
             )
         return arr

@@ -39,6 +39,7 @@ from pl_bert_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     param_shardings,
+    put_global,
     shard_params,
 )
 from pl_bert_tpu.training.checkpoint import (
@@ -408,7 +409,12 @@ class Trainer:
 
     def _put(self, batch) -> dict:
         arrays = batch if isinstance(batch, dict) else batch_to_arrays(batch)
-        return jax.device_put(arrays, self.batch_sharding)
+        # multi-process safe: every process generates the identical
+        # global batch (deterministic pipeline) and contributes its
+        # addressable data-axis shards
+        return jax.tree.map(
+            lambda v: put_global(v, self.batch_sharding), arrays
+        )
 
     def _train_batches(self, epoch: int, start_batch: int = 0):
         if self.ondevice_masking:
@@ -552,7 +558,16 @@ def maybe_init_distributed() -> None:
     jax.distributed coordinating. Enable with PLBERT_DISTRIBUTED=1 (or
     any environment where JAX can auto-detect the cluster)."""
     if os.environ.get("PLBERT_DISTRIBUTED") == "1":
-        jax.distributed.initialize()
+        kwargs = {}
+        if os.environ.get("PLBERT_COORDINATOR"):
+            # explicit coordinator (tests / bare-metal launch); without
+            # these, jax auto-detects the cluster (TPU pod, SLURM, ...)
+            kwargs = dict(
+                coordinator_address=os.environ["PLBERT_COORDINATOR"],
+                num_processes=int(os.environ["PLBERT_NUM_PROCESSES"]),
+                process_id=int(os.environ["PLBERT_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kwargs)
         print(
             f"jax.distributed: process {jax.process_index()} of "
             f"{jax.process_count()}, {jax.local_device_count()} local devices",

@@ -301,3 +301,49 @@ def test_vocab_sharded_gathered_lm_loss_matches_replicated():
         )
         got = float(loss_fn(hidden, k_sharded, b_sharded))
         assert abs(got - expect) < 1e-4, capacity
+
+
+def test_shard_seed_offsets_unique_across_mesh():
+    """ADVICE r2 (medium): kernel dropout streams derive from
+    shard-LOCAL program ids, so decorrelation rests entirely on the
+    per-shard seed offsets. Assert the offset is unique for every
+    (data, model) shard of a 4x2 mesh, and that the fused-LN offset
+    (data-only) is shared within a model column but distinct across
+    data rows — the exact contract tp.py documents."""
+    from jax.sharding import PartitionSpec as P
+
+    from pl_bert_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from pl_bert_tpu.parallel.tp import _SEED_STRIDE, _shard_seed_offset
+
+    mesh = make_mesh(data=4, model=2)
+    m = 2
+
+    def attn_offsets():
+        return _shard_seed_offset(m).reshape(1, 1)
+
+    def ln_offsets():
+        d = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        return (d * jnp.int32(_SEED_STRIDE)).reshape(1, 1)
+
+    grid = jax.shard_map(
+        attn_offsets, mesh=mesh, in_specs=(),
+        out_specs=P(DATA_AXIS, MODEL_AXIS), check_vma=False,
+    )()
+    grid = np.asarray(grid)  # [4, 2]: offset of shard (d, r)
+    assert grid.shape == (4, 2)
+    assert len(np.unique(grid)) == 8  # all attention streams distinct
+    # documented layout: (r + m*d) * stride
+    for d in range(4):
+        for r in range(2):
+            assert grid[d, r] == (r + m * d) * _SEED_STRIDE
+
+    ln = np.asarray(
+        jax.shard_map(
+            ln_offsets, mesh=mesh, in_specs=(),
+            out_specs=P(DATA_AXIS, MODEL_AXIS), check_vma=False,
+        )()
+    )
+    # model shards bitwise identical (out_spec replication contract),
+    # data shards distinct
+    assert (ln[:, 0] == ln[:, 1]).all()
+    assert len(np.unique(ln[:, 0])) == 4
