@@ -486,8 +486,78 @@ def run_preprocess(n: int = 2000) -> None:
     )
 
 
+def run_store_feed(
+    n_samples: int = 50_000, max_batches: int = 400, store_dir: str | None = None,
+) -> None:
+    """Host data-plane throughput from a memory-mapped packed store
+    (data/packed_store.py): packs a synthetic corpus once into /tmp,
+    then measures shuffled-batch read rate at the production batch
+    shape. The number that matters is the headroom over the device's
+    demand (~5.2 batches/sec at the round-2 253k tok/s step rate) —
+    the pread data plane must never be the bottleneck."""
+    import tempfile
+
+    from pl_bert_tpu.data.packed_store import (
+        open_packed_store, write_packed_store,
+    )
+
+    if store_dir is None:
+        store_dir = os.path.join(tempfile.gettempdir(), "plbert_bench_store")
+    if not os.path.isdir(store_dir):
+        # fast streaming corpus: a fixed word pool sampled per record
+        # (make_synthetic_corpus's per-word rng.choice is ~100× slower)
+        pool_rng = np.random.default_rng(11)
+        alphabet = np.array(list("ɑɐɒæbdfɡhijklmnopqrstuvwzʃʒθðŋɹɾʔˈˌː"))
+        word_pool = [
+            "".join(pool_rng.choice(alphabet, size=int(n)))
+            for n in pool_rng.integers(2, 10, size=4096)
+        ]
+
+        def gen():
+            rng = np.random.default_rng(12)
+            for _ in range(n_samples):
+                k = int(rng.integers(40, 120))
+                idx = rng.integers(0, len(word_pool), size=k)
+                yield {"phonemes": [word_pool[i] for i in idx]}
+
+        write_packed_store(gen(), store_dir, max_seq_length=SEQ)
+    reader = open_packed_store(store_dir)
+
+    # warm the page cache fairly: one throwaway pass over a subset
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        reader.batch(np.sort(rng.integers(0, len(reader), BATCH)))
+
+    n_batches = 0
+    t0 = time.perf_counter()
+    for epoch in (1, 2):
+        for b in reader.batches(BATCH, epoch, seed=3):
+            n_batches += 1
+            if n_batches >= max_batches:
+                break
+        if n_batches >= max_batches:
+            break
+    dt = time.perf_counter() - t0
+    batches_per_sec = n_batches / dt
+    tokens_per_sec = batches_per_sec * BATCH * SEQ
+    device_demand = 253_000.0  # round-2 flagship step rate, BASELINE.md
+    print(
+        json.dumps(
+            {
+                "metric": "packed_store_host_feed_tokens_per_sec",
+                "value": round(tokens_per_sec, 1),
+                "unit": "tokens/sec",
+                "vs_baseline": round(tokens_per_sec / device_demand, 3),
+                "baseline_anchor": "round-2 device step rate (253k tok/s)",
+                "batches_per_sec": round(batches_per_sec, 1),
+                "store_rows": len(reader),
+            }
+        )
+    )
+
+
 _KNOWN_FLAGS = {"--gate", "--packed", "--preprocess", "--multitask",
-                "--inference"}
+                "--inference", "--store"}
 
 
 def main(argv: list[str]) -> None:
@@ -507,6 +577,8 @@ def main(argv: list[str]) -> None:
 
     if "--preprocess" in argv:
         return run_preprocess()
+    if "--store" in argv:
+        return run_store_feed()
 
     from pl_bert_tpu.config import Config
     from pl_bert_tpu.parallel.mesh import make_mesh

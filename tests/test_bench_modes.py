@@ -101,3 +101,16 @@ def test_chunk_size_never_falls_back_to_full_length():
     b = float(masked_lm_loss_chunked(hidden, kernel, bias, labels, mask,
                                      None, chunk_size=12))
     assert abs(a - b) < 1e-5
+
+
+def test_store_feed_mode_emits_contract(capsys, tmp_path):
+    bench.run_store_feed(
+        n_samples=800, max_batches=20, store_dir=str(tmp_path / "store")
+    )
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    record = json.loads(line)
+    assert record["metric"] == "packed_store_host_feed_tokens_per_sec"
+    assert record["unit"] == "tokens/sec"
+    assert record["value"] > 0
+    assert record["batches_per_sec"] > 0
+    assert record["store_rows"] == 800
