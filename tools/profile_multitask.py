@@ -96,16 +96,30 @@ def parse_xplane(trace_dir: str, steps: int):
         if "TPU" not in plane.name and "/device" not in plane.name:
             continue
         ev_names = {i: m.name for i, m in plane.event_metadata.items()}
+        step_ps = sum(
+            ev.duration_ps
+            for line in plane.lines if line.name == "Steps"
+            for ev in line.events
+        )
         total_by_name = defaultdict(int)
         for line in plane.lines:
-            if "XLA Ops" not in line.name and "Ops" != line.name.strip():
+            # EXACTLY the sync op line: 'Async XLA Ops' (in-flight copy
+            # spans, overlapping) would triple-count, and so would the
+            # control-flow wrappers below, whose inner ops appear as
+            # their own events
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
-                total_by_name[ev_names.get(ev.metadata_id, "?")] += (
-                    ev.duration_ps
-                )
+                name = ev_names.get(ev.metadata_id, "?")
+                base = name.lstrip("%").split(" ")[0].split(".")[0]
+                if base in ("while", "conditional", "call", "copy-start"):
+                    continue
+                total_by_name[name] += ev.duration_ps
         if not total_by_name:
             continue
+        if step_ps:
+            print(f"\nSteps line: {step_ps/1e12*1000:.1f} ms total, "
+                  f"{step_ps/1e12*1000/steps:.1f} ms/step")
 
         def cat(name: str) -> str:
             n = name.lower()
