@@ -169,3 +169,28 @@ def test_two_process_training_saves_resumes_and_matches_single(tmp_path):
     assert set(sp_losses) == set(mp_losses)
     for step, l in sp_losses.items():
         assert abs(l - mp_losses[step]) < 1e-4, (step, l, mp_losses[step])
+
+
+TP_CONFIG = CONFIG.replace("model_axis: 1", "model_axis: 2").replace(
+    "attention_impl: xla",
+    "attention_impl: xla\n  num_token_vocab: 128",
+)
+
+
+def test_two_process_tensor_parallel_step(tmp_path):
+    """Tensor parallelism ACROSS process boundaries: a (4 data, 2 model)
+    mesh over 2 processes with the multi-task model — the vocab-parallel
+    grapheme head's kernel shards live on different processes, so
+    put_global's callback placement and GSPMD's cross-process
+    collectives both engage. Two steps to completion + finite losses."""
+    out_dir = str(tmp_path / "ckpt")
+    cfg_path = str(tmp_path / "config.yml")
+    with open(cfg_path, "w") as f:
+        f.write(TP_CONFIG.format(out=out_dir, num_steps=2))
+    outs = _run_pair(cfg_path, "tp")
+    metrics = _read_metrics(os.path.join(out_dir, "tp"))
+    steps = [r for r in metrics if "phoneme_loss" in r]
+    assert len(steps) == 2
+    for r in steps:
+        assert abs(r["phoneme_loss"]) < 1e6
+        assert abs(r["token_loss"]) < 1e6

@@ -325,3 +325,66 @@ def test_million_sample_store_bounded_rss(tmp_path):
         "residency is not bounded"
     )
     assert startup < 5.0, f"reader startup took {startup:.1f}s"
+
+
+def test_store_resume_matches_uninterrupted_run(tmp_path):
+    """The full training lifecycle on a memmap store: a run interrupted
+    mid-epoch and resumed must end with the same params as an
+    uninterrupted run — exercising the store's deterministic epoch
+    permutations, the per-epoch re-crop stream across the restart, and
+    checkpoint restore with a store-backed Trainer."""
+    import dataclasses
+
+    import jax
+
+    from pl_bert_tpu.config import Config
+    from pl_bert_tpu.training.train import Trainer
+
+    corpus = make_synthetic_corpus(120, seed=7)
+    store = write_packed_store(
+        iter(corpus), str(tmp_path / "st"), max_seq_length=64, shard_rows=50
+    )
+
+    def cfg(num_steps):
+        c = Config()
+        return dataclasses.replace(
+            c,
+            training_params=dataclasses.replace(
+                c.training_params, batch_size=8, data_axis=-1, model_axis=1,
+                num_steps=num_steps, save_interval=5, log_interval=100,
+                learning_rate=1e-3, mixed_precision="fp32",
+                output_dir=str(tmp_path / "ckpt"),
+            ),
+            dataset_params=dataclasses.replace(
+                c.dataset_params, max_seq_length=64, ondevice_masking=True,
+            ),
+            model_params=dataclasses.replace(
+                c.model_params, hidden_size=32, num_attention_heads=2,
+                intermediate_size=64, num_hidden_layers=1, embedding_size=16,
+                max_position_embeddings=64, dropout=0.0, attention_impl="xla",
+            ),
+        )
+
+    # interrupted: 5 steps (ckpt mid-epoch), then resume to 20 — the
+    # 14-row epoch spills into epoch 2, crossing a re-crop boundary
+    a = Trainer(cfg(5), str(tmp_path / "ckpt/run"), False,
+                dataset=open_packed_store(store))
+    a.train()
+    assert a.current_step == 5
+    b = Trainer(cfg(20), str(tmp_path / "ckpt/run"), True,
+                dataset=open_packed_store(store))
+    assert b.current_step == 5
+    b.train()
+    assert b.current_step == 20
+
+    # uninterrupted ground truth
+    c = Trainer(cfg(20), str(tmp_path / "ckpt/ref"), False,
+                dataset=open_packed_store(store))
+    c.train()
+
+    for pb, pc in zip(
+        jax.tree.leaves(b.state.params), jax.tree.leaves(c.state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pb), np.asarray(pc), rtol=1e-6, atol=1e-7
+        )
