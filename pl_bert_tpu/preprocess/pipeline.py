@@ -224,6 +224,24 @@ def main_pack(
     from pl_bert_tpu.data.packed_store import write_packed_store
     from pl_bert_tpu.preprocess.shard_engine import iter_processed_dataset
 
+    def _iter_records(path: str):
+        """Stream records from either this build's jsonl stage output or
+        the reference's arrow ``save_to_disk`` dataset (reference:
+        preprocess.py:364-371 / hub dataset
+        ``fadi77/wikipedia_20231101.ar.phonemized``, configs/config.yml:21)
+        — the format a migrating reference user's corpus is actually in.
+        Both iterate lazily (arrow is memory-mapped), keeping writer RSS
+        flat."""
+        if os.path.exists(os.path.join(path, "records.jsonl")):
+            return iter_processed_dataset(path)
+        from datasets import load_from_disk
+
+        ds = load_from_disk(path)
+        if hasattr(ds, "keys") and not hasattr(ds, "features"):  # DatasetDict
+            split = "train" if "train" in ds else next(iter(ds.keys()))
+            ds = ds[split]
+        return iter(ds)
+
     dp = config.dataset_params
     if output_dir is None:
         output_dir = f"{os.path.basename(dataset_path)}.packed"
@@ -234,7 +252,7 @@ def main_pack(
     print(f"Packing {dataset_path} -> {output_dir} "
           f"(L={dp.max_seq_length}, sequence_packing={dp.sequence_packing})")
     out = write_packed_store(
-        iter_processed_dataset(dataset_path),
+        _iter_records(dataset_path),
         output_dir,
         max_seq_length=dp.max_seq_length,
         token_separator=dp.word_separator,

@@ -114,3 +114,22 @@ def test_store_feed_mode_emits_contract(capsys, tmp_path):
     assert record["value"] > 0
     assert record["batches_per_sec"] > 0
     assert record["store_rows"] == 800
+
+
+def test_a100_anchor_derivation_reproduces():
+    """The 120k A100 anchor (bench.REFERENCE_A100_TOKENS_PER_SEC) must
+    stay inside the band its checked-in derivation produces
+    (tools/a100_baseline_estimate.py; VERDICT r2 weak #2)."""
+    import os
+    import subprocess
+    import sys
+
+    if not os.path.exists("/root/reference/dataloader.py"):
+        pytest.skip("reference checkout absent")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "a100_baseline_estimate.py")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "INSIDE the band" in proc.stdout

@@ -388,3 +388,35 @@ def test_store_resume_matches_uninterrupted_run(tmp_path):
         np.testing.assert_allclose(
             np.asarray(pb), np.asarray(pc), rtol=1e-6, atol=1e-7
         )
+
+
+def test_pack_stage_accepts_arrow_dataset(tmp_path):
+    """main_pack over the reference's save_to_disk (arrow) format — the
+    dataset layout a migrating reference user actually has (reference:
+    preprocess.py:364-371)."""
+    datasets = pytest.importorskip("datasets")
+
+    from pl_bert_tpu.config import Config
+    from pl_bert_tpu.preprocess.pipeline import main_pack
+
+    corpus = make_synthetic_corpus(40, seed=5, token_vocab=120)
+    src = str(tmp_path / "arrow_ds")
+    datasets.Dataset.from_list(corpus).save_to_disk(src)
+
+    import dataclasses
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        dataset_params=dataclasses.replace(
+            cfg.dataset_params, max_seq_length=64
+        ),
+    )
+    out = main_pack(cfg, src, shard_rows=16)
+    reader = open_packed_store(out)
+    assert len(reader) == 40 and reader.has_tokens
+    ref = PackedPhonemeDataset(corpus, 64, seed=1)
+    b1 = next(reader.batches(8, 1, seed=2))
+    b2 = next(ref.batches(8, 1, seed=2))
+    for k in b2:
+        np.testing.assert_array_equal(b1[k], b2[k])
