@@ -65,7 +65,18 @@ python -m pl_bert_tpu.preprocess.pipeline --config_path "$WORK/config.yml" \
     --stage tokenize --dataset_path "$WORK/prep/cleaned.phonemized" \
     --tokenizer_dir "$WORK/prep/word_tokenizer"
 
-echo "== 3. pretrain =="
+echo "== 2c. pack into the memory-mapped training store =="
+python -m pl_bert_tpu.preprocess.pipeline --config_path "$WORK/config.yml" \
+    --stage pack --dataset_path "$WORK/prep/cleaned.phonemized"
+
+echo "== 3. pretrain (from the packed store) =="
+python - <<PY
+import yaml
+cfg = yaml.safe_load(open("$WORK/config.yml"))
+cfg["training_params"]["training_dataset"] = \
+    "$WORK/prep/cleaned.phonemized.packed"
+yaml.safe_dump(cfg, open("$WORK/config.yml", "w"), allow_unicode=True)
+PY
 python -m pl_bert_tpu.training.train --config_path "$WORK/config.yml" \
     --run_name demo
 
