@@ -503,6 +503,24 @@ def run_store_feed(
 
     if store_dir is None:
         store_dir = os.path.join(tempfile.gettempdir(), "plbert_bench_store")
+    if os.path.isdir(store_dir):
+        # a cached store from a different bench version/parameters would
+        # silently skew the headline — validate or repack
+        import json as _json
+        import shutil
+
+        try:
+            meta = _json.load(
+                open(os.path.join(store_dir, "packed_meta.json"))
+            )
+            stale = (
+                meta["num_samples"] != n_samples
+                or meta["max_seq_length"] != SEQ
+            )
+        except (OSError, ValueError, KeyError):
+            stale = True
+        if stale:
+            shutil.rmtree(store_dir, ignore_errors=True)
     if not os.path.isdir(store_dir):
         # fast streaming corpus: a fixed word pool sampled per record
         # (make_synthetic_corpus's per-word rng.choice is ~100× slower)

@@ -388,10 +388,12 @@ class MemmapPackedDataset(_MemmapStoreBase):
     Per-epoch re-cropping of long samples (reference semantics:
     dataloader.py:110-126) slices the stored full char streams at
     Philox-drawn offsets and re-bases the window's word ids — no
-    re-packing, no array mutation. Epoch 0 is always the stored
-    head-crop state (``PackedPhonemeDataset`` returns its *latest*
-    crops when asked for epoch 0 after a later epoch; this reader is
-    pristine — only validation snapshots use epoch 0, taken at init)."""
+    re-packing, no array mutation. Epoch-0 semantics match
+    ``PackedPhonemeDataset`` exactly: before any training epoch it is
+    the stored head-crop state, and a later epoch-0 request returns the
+    LATEST epoch's crops (``_recrop`` leaves the current offsets in
+    place) — in practice only validation snapshots use epoch 0, taken
+    at Trainer init before training epochs run."""
 
     _fields = _ROW_FIELDS
 

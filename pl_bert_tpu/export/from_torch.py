@@ -26,8 +26,13 @@ from pl_bert_tpu.export.to_hf import hf_state_dict_to_flax_encoder
 
 
 def _strip_ddp_prefix(state_dict: dict) -> dict:
-    # reference: train.py:98 — DDP wraps keys as 'module.<name>'
-    return {k.replace("module.", "", 1): v for k, v in state_dict.items()}
+    # reference: train.py:98 — DDP wraps keys as 'module.<name>'; strip
+    # ONLY the leading prefix (a replace() would corrupt any key merely
+    # containing 'module.' mid-name)
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in state_dict.items()
+    }
 
 
 def _to_numpy(t) -> np.ndarray:

@@ -188,11 +188,6 @@ def iter_processed_dataset(path: str):
                 yield json.loads(line)
 
 
-def count_processed_dataset(path: str) -> int:
-    with open(os.path.join(path, "records.jsonl"), encoding="utf-8") as f:
-        return sum(1 for line in f if line.strip())
-
-
 def process_dataset(
     dataset: Iterable[dict],
     root_directory: str,

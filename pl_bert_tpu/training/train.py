@@ -562,6 +562,18 @@ def maybe_init_distributed() -> None:
         if os.environ.get("PLBERT_COORDINATOR"):
             # explicit coordinator (tests / bare-metal launch); without
             # these, jax auto-detects the cluster (TPU pod, SLURM, ...)
+            missing = [
+                k for k in ("PLBERT_NUM_PROCESSES", "PLBERT_PROCESS_ID")
+                if k not in os.environ
+            ]
+            if missing:
+                raise RuntimeError(
+                    "PLBERT_COORDINATOR is set but "
+                    f"{' and '.join(missing)} "
+                    "is not — an explicit coordinator needs all of "
+                    "PLBERT_COORDINATOR, PLBERT_NUM_PROCESSES, "
+                    "PLBERT_PROCESS_ID"
+                )
             kwargs = dict(
                 coordinator_address=os.environ["PLBERT_COORDINATOR"],
                 num_processes=int(os.environ["PLBERT_NUM_PROCESSES"]),

@@ -57,6 +57,7 @@ def _launch(cfg_path, run_name, port, pid, num_procs, local_devices):
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",  # keep the axon hook from pinning the TPU
         XLA_FLAGS=f"--xla_force_host_platform_device_count={local_devices}",
         PLBERT_DISTRIBUTED="1",
         PLBERT_COORDINATOR=f"localhost:{port}",
@@ -95,6 +96,7 @@ def _run_single(cfg_path, run_name, timeout=600):
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",  # keep the axon hook from pinning the TPU
         XLA_FLAGS="--xla_force_host_platform_device_count=8",
         PYTHONPATH=REPO,
     )
