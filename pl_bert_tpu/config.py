@@ -91,11 +91,22 @@ class TrainingParams:
     # TPU than threefry (hardware-friendly generator), statistically fine
     # for dropout; set 'threefry2x32' for jax-default streams
     prng_impl: str = "rbg"
+    # TPU build extension: accumulate gradients over N micro-batches of
+    # ``batch_size`` inside one jitted step (lax.scan), then apply ONE
+    # optimizer update — effective batch = batch_size * grad_accum_steps
+    # with the activation memory of a single micro-batch. Weighted by
+    # samples-with-masks per micro-batch, so the update is numerically
+    # identical to a single large batch (tests/test_grad_accum.py).
+    grad_accum_steps: int = 1
 
     def __post_init__(self) -> None:
         self.learning_rate = float(self.learning_rate)
         if self.mixed_precision not in ("fp32", "bf16", "fp16", "no"):
             raise ConfigError(f"bad mixed_precision: {self.mixed_precision}")
+        if self.grad_accum_steps < 1:
+            raise ConfigError(
+                f"grad_accum_steps must be >= 1, got {self.grad_accum_steps}"
+            )
 
 
 @dataclass

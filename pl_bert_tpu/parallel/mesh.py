@@ -48,6 +48,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def microbatch_sharding(mesh: Mesh) -> NamedSharding:
+    """Gradient-accumulation batches [accum, batch, ...] keep the
+    micro-step axis replicated (the step lax.scans over it) and shard
+    the batch axis over the data axis — no resharding at scan slices."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 # (path-suffix match, PartitionSpec) — first hit wins. Kernels are
 # [in, out]; shard FFN/QKV on the output (head/intermediate) dim and the
 # contraction input dim of the projections that read sharded activations,

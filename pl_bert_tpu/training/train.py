@@ -38,6 +38,7 @@ from pl_bert_tpu.models.albert import build_model, init_params
 from pl_bert_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    microbatch_sharding,
     param_shardings,
     put_global,
     shard_params,
@@ -394,11 +395,14 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.tx, self.use_token_ids, donate=tp.donate_state,
             masking_params=self.masking_params,
+            grad_accum=tp.grad_accum_steps,
         )
         self.eval_step = make_eval_step(
             self.model, self.use_token_ids, masking_params=self.masking_params
         )
         self.batch_sharding = batch_sharding(self.mesh)
+        # stacked [accum, B, ...] super-batches shard on the batch axis
+        self.accum_sharding = microbatch_sharding(self.mesh)
         self.base_rng = jax.random.key(tp.seed, impl=tp.prng_impl)
         self.metrics = MetricsLogger(
             log_dir, tp.log_interval, tp.wandb_project, config.to_dict()
@@ -407,14 +411,38 @@ class Trainer:
 
         self.profiler = maybe_profile()
 
-    def _put(self, batch) -> dict:
+    def _put(self, batch, sharding=None) -> dict:
         arrays = batch if isinstance(batch, dict) else batch_to_arrays(batch)
+        sharding = sharding or self.batch_sharding
         # multi-process safe: every process generates the identical
         # global batch (deterministic pipeline) and contributes its
         # addressable data-axis shards
-        return jax.tree.map(
-            lambda v: put_global(v, self.batch_sharding), arrays
-        )
+        return jax.tree.map(lambda v: put_global(v, sharding), arrays)
+
+    @staticmethod
+    def _group_micro(it, accum: int):
+        """Group ``accum`` consecutive loader batches into one stacked
+        [accum, B, ...] super-batch for the accumulation step; a ragged
+        final group is padded with EMPTY micro-batches (all-zero rows,
+        length 0), which contribute zero weight to the accumulated
+        gradient. Yields (stacked_arrays, loader_batches_consumed)."""
+        group: list[dict] = []
+
+        def stacked():
+            out = {}
+            for k in group[0]:
+                arrs = [np.asarray(g[k]) for g in group]
+                arrs += [np.zeros_like(arrs[0])] * (accum - len(arrs))
+                out[k] = np.stack(arrs)
+            return out
+
+        for b in it:
+            group.append(b if isinstance(b, dict) else batch_to_arrays(b))
+            if len(group) == accum:
+                yield stacked(), accum
+                group = []
+        if group:
+            yield stacked(), len(group)
 
     def _train_batches(self, epoch: int, start_batch: int = 0):
         if self.ondevice_masking:
@@ -481,7 +509,7 @@ class Trainer:
     def train(self) -> int:
         tp = self.config.training_params
         dp = self.config.dataset_params
-        tokens_per_batch = tp.batch_size * dp.max_seq_length
+        tokens_per_batch = tp.batch_size * dp.max_seq_length * tp.grad_accum_steps
 
         if self.current_step >= tp.num_steps:
             # already complete — never train past the configured budget on
@@ -508,14 +536,22 @@ class Trainer:
             batch_idx = start_batch
             it = self._train_batches(epoch=epoch, start_batch=start_batch)
             start_batch = 0
+            accum = tp.grad_accum_steps
+            if accum > 1:
+                feed = (
+                    (self._put(b, self.accum_sharding), c)
+                    for b, c in self._group_micro(it, accum)
+                )
+            else:
+                feed = ((self._put(b), 1) for b in it)
             # device_put inside the prefetch thread: host→device transfer
             # overlaps the previous step's device compute
-            for device_batch in prefetch((self._put(b) for b in it), size=2):
+            for device_batch, consumed in prefetch(feed, size=2):
                 self.state, metrics = self.train_step(
                     self.state, device_batch, self.base_rng
                 )
                 self.current_step += 1
-                batch_idx += 1
+                batch_idx += consumed
                 self.profiler.tick(self.current_step)
                 self.metrics.log_step(
                     self.current_step, epoch, metrics, tokens_per_batch

@@ -131,19 +131,98 @@ def _apply_ondevice_masking(batch: dict, rng: jax.Array, masking_params) -> dict
     return fwd
 
 
+def _samples_with_masks(batch: dict) -> jax.Array:
+    """f32 count of samples carrying ≥1 valid masked position — the
+    denominator of the reference loss semantics (ops/masked_ce.py)."""
+    valid = batch["mask_positions"]
+    in_range = (
+        jnp.arange(valid.shape[1])[None, :] < batch["lengths"][:, None]
+    )
+    valid = valid & in_range
+    return ((valid.sum(axis=1) > 0).astype(jnp.float32)).sum()
+
+
 def make_train_step(
     model,
     tx,
     use_token_ids: bool = False,
     donate: bool = True,
     masking_params=None,
+    grad_accum: int = 1,
 ):
     """Build the jitted (state, batch, rng) → (state, metrics) step.
 
     With ``masking_params`` set, the batch carries only packed arrays
     (label_ids, word_ids, lengths) and whole-word masking itself runs
     on device inside the step (ops/ondevice_masking.py) — the north-star
-    fused collate."""
+    fused collate.
+
+    With ``grad_accum > 1``, batch arrays carry a leading micro-step
+    axis ``[grad_accum, batch, ...]`` and the step lax.scans over it,
+    accumulating gradients and applying ONE optimizer update — the
+    activation memory of a single micro-batch at ``grad_accum`` times
+    the effective batch. Each micro-batch's gradient is weighted by its
+    samples-with-masks count, which makes the update numerically
+    IDENTICAL to running the concatenated large batch through the
+    reference loss (per-sample mean, then mean over samples with ≥1
+    mask — an unweighted mean-of-means would instead dilute ragged
+    final groups padded with empty micro-batches). Identity is modulo
+    the dropout/masking RNG streams, which fold in the micro index;
+    tests assert exact equality at dropout 0 (tests/test_grad_accum.py)."""
+
+    def micro_grads(params, mb: dict, mrng: jax.Array):
+        """(Σ per-sample-mean grads, Σ weighted losses, n_samples)."""
+        if masking_params is not None:
+            mask_rng, mrng = jax.random.split(mrng)
+            mb = _apply_ondevice_masking(mb, mask_rng, masking_params)
+        n = _samples_with_masks(mb)
+
+        def loss_fn(params):
+            loss, (_, loss_p, loss_t) = _forward_loss(
+                model, params, mb, {"dropout": mrng}, False, use_token_ids
+            )
+            # scale the per-micro mean by its sample count: the scan
+            # accumulates sums-over-samples and normalizes once at the
+            # end by the total count
+            return loss * n, (loss_p * n, loss_t * n)
+
+        (_, (sum_p, sum_t)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        return grads, sum_p, sum_t, n
+
+    def accum_step_fn(state: TrainState, batch: dict, base_rng: jax.Array):
+        rng = jax.random.fold_in(base_rng, state.step)
+
+        def body(carry, xs):
+            g_acc, p_acc, t_acc, n_acc = carry
+            mb, idx = xs
+            grads, sum_p, sum_t, n = micro_grads(
+                state.params, mb, jax.random.fold_in(rng, idx)
+            )
+            return (
+                jax.tree.map(jnp.add, g_acc, grads),
+                p_acc + sum_p, t_acc + sum_t, n_acc + n,
+            ), None
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        init = (zeros, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
+        (g_sum, p_sum, t_sum, n_sum), _ = jax.lax.scan(
+            body, init, (batch, jnp.arange(grad_accum, dtype=jnp.int32))
+        )
+        denom = jnp.maximum(n_sum, 1.0)
+        grads = jax.tree.map(lambda g: g / denom.astype(g.dtype), g_sum)
+        loss_p = p_sum / denom
+        loss_t = t_sum / denom
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss_p + loss_t,
+            "phoneme_loss": loss_p,
+            "token_loss": loss_t,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
 
     def step_fn(state: TrainState, batch: dict, base_rng: jax.Array):
         rng = jax.random.fold_in(base_rng, state.step)
@@ -170,7 +249,8 @@ def make_train_step(
         }
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    fn = accum_step_fn if grad_accum > 1 else step_fn
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, use_token_ids: bool = False, masking_params=None):
