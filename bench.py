@@ -32,6 +32,9 @@ Modes (VERDICT r1 items 7/10):
   --inference      the serving path (models/inference.py::PhonemeEncoder,
                    the StyleTTS consumption contract): encoder forward
                    tokens/sec at batch 96 × seq 512, bf16.
+  --accum          gradient accumulation: effective batch 384 (4 × 96)
+                   at a single micro-batch's activation memory, plus
+                   the efficiency ratio vs the plain batch-96 step.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the
 anchor used here is an analytic estimate of the reference's A100-40GB
@@ -93,7 +96,7 @@ def _short_corpus(n: int, seed: int = 0) -> list[dict]:
 
 def _build(
     config, mesh, masking_params=None, attention_impl=None,
-    use_token_ids=False, num_token_vocab=0, remat=None,
+    use_token_ids=False, num_token_vocab=0, remat=None, grad_accum=1,
 ):
     """(state, train_step, rng, batch_sharding) for the config.
 
@@ -143,7 +146,7 @@ def _build(
     state = TrainState(params, opt_state, jax.device_put(np.int32(0)))
     train_step = make_train_step(
         model, tx, use_token_ids=use_token_ids, donate=True,
-        masking_params=masking_params,
+        masking_params=masking_params, grad_accum=grad_accum,
     )
     rng = jax.random.key(0, impl=tp.prng_impl)
     return state, train_step, rng, batch_sharding(mesh)
@@ -161,7 +164,7 @@ def _measure(state, train_step, rng, pool) -> float:
     return time.perf_counter() - t0
 
 
-def _host_masked_pool(bsh, batch: int = BATCH):
+def _host_masked_pool(bsh, batch: int = BATCH, n_batches: int = 4):
     import jax
 
     from pl_bert_tpu.data.collate import collate_fixed
@@ -169,17 +172,16 @@ def _host_masked_pool(bsh, batch: int = BATCH):
     from pl_bert_tpu.training.train_step import batch_to_arrays
 
     BATCH = batch
-    corpus = _full_length_corpus(BATCH * 4, seed=0)
+    corpus = _full_length_corpus(BATCH * n_batches, seed=0)
     masker = WholeWordMasker(MaskingParams(max_seq_length=SEQ), seed=1)
     pool = []
-    for b in range(4):
+    for b in range(n_batches):
         samples = [
             masker(corpus[b * BATCH + i]["phonemes"], epoch=0, index=i)
             for i in range(BATCH)
         ]
-        pool.append(
-            jax.device_put(batch_to_arrays(collate_fixed(samples, SEQ)), bsh)
-        )
+        arrays = batch_to_arrays(collate_fixed(samples, SEQ))
+        pool.append(arrays if bsh is None else jax.device_put(arrays, bsh))
     return pool
 
 
@@ -328,6 +330,53 @@ def run_multitask(config, mesh) -> None:
                 # reference's multitask A100 rate would be strictly
                 # lower, so this ratio is conservative
                 "baseline_anchor": "phoneme-only A100 estimate",
+            }
+        )
+    )
+
+
+def run_accum(config, mesh, accum: int = 4) -> None:
+    """Gradient accumulation throughput: effective batch ``accum``×96 at
+    a single micro-batch's activation memory. Direct batch 384 does NOT
+    fit 16 GB HBM without remat (BASELINE.md: batch >96 OOMs); the
+    accumulation step (training_params.grad_accum_steps) lax.scans over
+    [accum, 96, 512] micro-batches and applies one sample-count-weighted
+    optimizer update, numerically identical to the concatenated batch
+    (tests/test_grad_accum.py). ``accum_efficiency`` is tokens/sec
+    relative to the plain batch-96 step measured in the same run — the
+    cost of the scan + one (instead of accum) optimizer applications."""
+    import jax
+
+    from pl_bert_tpu.parallel.mesh import microbatch_sharding
+
+    plain_tps = _measure_impl(config, mesh, "auto")
+
+    state, train_step, rng, _ = _build(config, mesh, grad_accum=accum)
+    msh = microbatch_sharding(mesh)
+    host = _host_masked_pool(None, n_batches=2 * accum)
+    pool = []
+    for g in range(2):
+        group = host[g * accum:(g + 1) * accum]
+        stacked = {
+            k: np.stack([np.asarray(b[k]) for b in group]) for k in group[0]
+        }
+        pool.append(jax.device_put(stacked, msh))
+
+    dt = _measure(state, train_step, rng, pool)
+    tokens_per_sec = MEASURE_STEPS * accum * BATCH * SEQ / dt
+    print(
+        json.dumps(
+            {
+                "metric": "grad_accum_train_tokens_per_sec_per_chip",
+                "value": round(tokens_per_sec, 1),
+                "unit": "tokens/sec",
+                "vs_baseline": round(
+                    tokens_per_sec / REFERENCE_A100_TOKENS_PER_SEC, 3
+                ),
+                "accum_steps": accum,
+                "effective_batch": accum * BATCH,
+                "plain_tokens_per_sec": round(plain_tps, 1),
+                "accum_efficiency": round(tokens_per_sec / plain_tps, 3),
             }
         )
     )
@@ -633,7 +682,7 @@ def run_scaling(config, mesh) -> None:
 
 
 _KNOWN_FLAGS = {"--gate", "--packed", "--preprocess", "--multitask",
-                "--inference", "--store", "--scale"}
+                "--inference", "--store", "--scale", "--accum"}
 
 
 def main(argv: list[str]) -> None:
@@ -669,6 +718,8 @@ def main(argv: list[str]) -> None:
         return run_scaling(config, mesh)
     if "--multitask" in argv:
         return run_multitask(config, mesh)
+    if "--accum" in argv:
+        return run_accum(config, mesh)
     if "--inference" in argv:
         return run_inference(config)
     gate_floor = None

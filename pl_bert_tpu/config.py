@@ -98,14 +98,36 @@ class TrainingParams:
     # samples-with-masks per micro-batch, so the update is numerically
     # identical to a single large batch (tests/test_grad_accum.py).
     grad_accum_steps: int = 1
+    # TPU build extension: learning-rate schedule over num_steps. The
+    # reference trains at a constant 7e-5 (reference: train.py:272);
+    # 'constant' + warmup_steps 0 reproduces that exactly. 'linear' and
+    # 'cosine' decay from learning_rate to learning_rate * lr_min_ratio
+    # by num_steps; warmup_steps > 0 prepends a linear 0 → peak ramp.
+    # The schedule is driven by the optimizer's own update count, so it
+    # survives checkpoint resume (tests/test_lr_schedule.py).
+    lr_schedule: str = "constant"  # constant | linear | cosine
+    warmup_steps: int = 0
+    lr_min_ratio: float = 0.0
 
     def __post_init__(self) -> None:
         self.learning_rate = float(self.learning_rate)
+        self.lr_min_ratio = float(self.lr_min_ratio)
         if self.mixed_precision not in ("fp32", "bf16", "fp16", "no"):
             raise ConfigError(f"bad mixed_precision: {self.mixed_precision}")
         if self.grad_accum_steps < 1:
             raise ConfigError(
                 f"grad_accum_steps must be >= 1, got {self.grad_accum_steps}"
+            )
+        if self.lr_schedule not in ("constant", "linear", "cosine"):
+            raise ConfigError(
+                f"lr_schedule must be constant|linear|cosine, got "
+                f"{self.lr_schedule!r}"
+            )
+        if self.warmup_steps < 0:
+            raise ConfigError(f"warmup_steps must be >= 0, got {self.warmup_steps}")
+        if not 0.0 <= self.lr_min_ratio <= 1.0:
+            raise ConfigError(
+                f"lr_min_ratio must be in [0, 1], got {self.lr_min_ratio}"
             )
 
 

@@ -55,6 +55,7 @@ from pl_bert_tpu.training.train_step import (
     TrainState,
     batch_to_arrays,
     make_eval_step,
+    make_lr_schedule,
     make_optimizer,
     make_train_step,
 )
@@ -396,6 +397,7 @@ class Trainer:
             self.model, self.tx, self.use_token_ids, donate=tp.donate_state,
             masking_params=self.masking_params,
             grad_accum=tp.grad_accum_steps,
+            lr_schedule=make_lr_schedule(tp),
         )
         self.eval_step = make_eval_step(
             self.model, self.use_token_ids, masking_params=self.masking_params

@@ -48,9 +48,38 @@ def _decay_mask(params) -> Any:
     )
 
 
+def make_lr_schedule(tp: TrainingParams):
+    """Step → learning-rate schedule, or None for the reference's plain
+    constant LR (reference: train.py:272 — constant 7e-5, no warmup).
+    Driven by the optimizer's update count (one count per optimizer
+    step, = the grad-accum super-step), so resume restores the schedule
+    position with the opt state."""
+    peak = tp.learning_rate
+    warm = tp.warmup_steps
+    if tp.lr_schedule == "constant" and warm == 0:
+        return None
+    decay_steps = max(tp.num_steps - warm, 1)
+    if tp.lr_schedule == "cosine":
+        main = optax.cosine_decay_schedule(
+            peak, decay_steps, alpha=tp.lr_min_ratio
+        )
+    elif tp.lr_schedule == "linear":
+        main = optax.linear_schedule(
+            peak, peak * tp.lr_min_ratio, decay_steps
+        )
+    else:
+        main = optax.constant_schedule(peak)
+    if warm:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, peak, warm), main], [warm]
+        )
+    return main
+
+
 def make_optimizer(tp: TrainingParams) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(tp)
     return optax.adamw(
-        learning_rate=tp.learning_rate,
+        learning_rate=tp.learning_rate if schedule is None else schedule,
         b1=tp.adam_b1,
         b2=tp.adam_b2,
         eps=tp.adam_eps,
@@ -149,6 +178,7 @@ def make_train_step(
     donate: bool = True,
     masking_params=None,
     grad_accum: int = 1,
+    lr_schedule=None,
 ):
     """Build the jitted (state, batch, rng) → (state, metrics) step.
 
@@ -222,6 +252,8 @@ def make_train_step(
             "token_loss": loss_t,
             "grad_norm": optax.global_norm(grads),
         }
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     def step_fn(state: TrainState, batch: dict, base_rng: jax.Array):
@@ -247,6 +279,8 @@ def make_train_step(
             "token_loss": loss_t,
             "grad_norm": optax.global_norm(grads),
         }
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     fn = accum_step_fn if grad_accum > 1 else step_fn
