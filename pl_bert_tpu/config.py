@@ -108,6 +108,11 @@ class TrainingParams:
     lr_schedule: str = "constant"  # constant | linear | cosine
     warmup_steps: int = 0
     lr_min_ratio: float = 0.0
+    # TPU build extension: write checkpoints from a background thread
+    # (device-side state snapshot first, so the training loop's donated
+    # buffers can advance immediately) instead of blocking the step loop
+    # on the device→host transfer + disk IO every save_interval
+    async_save: bool = False
 
     def __post_init__(self) -> None:
         self.learning_rate = float(self.learning_rate)

@@ -22,7 +22,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_ROWS = 256
+def _block_rows(H: int) -> int:
+    """Rows per grid step, bounded by scoped VMEM: the backward kernel
+    keeps ~7 fp32 row-block intermediates live (x, mask, y, xhat, g,
+    g·gamma, dy), and 256 rows measured 16.98M > the 16M scoped-vmem
+    limit at H=2048 on v5e — halve the rows as H doubles past 1024
+    (256 rows at H≤1024 is the measured-fast configuration)."""
+    return 256 if H <= 1024 else max(8, 256 * 1024 // H)
 
 
 def _mask(shape, seed_ref, *, rate: float):
@@ -84,7 +90,8 @@ def _bwd_kernel(
 
 
 def _specs(H: int):
-    row = pl.BlockSpec((_BLOCK_ROWS, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rows = _block_rows(H)
+    row = pl.BlockSpec((rows, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
     seed = pl.BlockSpec(memory_space=pltpu.SMEM)
     partial = pl.BlockSpec((1, 1, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -101,7 +108,7 @@ def _fused_fwd(x, res, gamma, beta, seed, rate, eps):
     row, vec, seed_spec, _ = _specs(H)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, rate=rate, eps=eps),
-        grid=(N // _BLOCK_ROWS,),
+        grid=(N // _block_rows(H),),
         in_specs=[row, row, vec, vec, seed_spec],
         out_specs=row,
         out_shape=jax.ShapeDtypeStruct((N, H), x.dtype),
@@ -115,7 +122,7 @@ def _fused_fwd(x, res, gamma, beta, seed, rate, eps):
 def _fused_bwd(rate, eps, residuals, g):
     x, res, gamma, beta, seed = residuals
     N, H = x.shape
-    n_blocks = N // _BLOCK_ROWS
+    n_blocks = N // _block_rows(H)
     row, vec, seed_spec, partial = _specs(H)
     dx, dres, dgamma_p, dbeta_p = pl.pallas_call(
         functools.partial(_bwd_kernel, rate=rate, eps=eps),
@@ -146,7 +153,7 @@ def fused_supported(n_rows: int, hidden: int) -> bool:
     return (
         _on_tpu()
         and _kernel_available()
-        and n_rows % _BLOCK_ROWS == 0
+        and n_rows % _block_rows(hidden) == 0
         and hidden % 128 == 0
     )
 

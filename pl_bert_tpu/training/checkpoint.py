@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import threading
 from typing import Any
 
 import jax
@@ -77,6 +78,69 @@ def save_checkpoint(
         for old in found[:-keep]:
             shutil.rmtree(checkpoint_path(log_dir, old), ignore_errors=True)
     return path
+
+
+class AsyncCheckpointWriter:
+    """Overlap checkpoint writes with training (training_params.async_save).
+
+    ``submit`` snapshots the state into FRESH device buffers via a
+    jitted identity (XLA never aliases outputs to inputs without a
+    donation annotation, so the snapshot survives the next step's
+    donated-buffer reuse), enqueues the device→host transfers, and runs
+    the orbax write + retention janitor in a background thread. The
+    train loop stalls only for the snapshot dispatch — not the host
+    transfer or the disk IO the reference's ``accelerator.save`` blocks
+    on every 1000 steps (reference: train.py:369-370, 412-425).
+
+    One write in flight at a time: ``submit`` joins the previous write
+    first (a save_interval's worth of compute is the natural write
+    budget). Call ``wait()`` before reading checkpoints back or exiting.
+    A failed write re-raises from the next ``wait()``/``submit`` — a
+    checkpoint that silently never landed would defeat elastic resume.
+    """
+
+    def __init__(self) -> None:
+        self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
+        self._snapshot = jax.jit(lambda tree: tree)
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            error, self._error = self._error, None
+            raise error
+
+    def submit(
+        self,
+        log_dir: str,
+        step: int,
+        params: Any,
+        opt_state: Any,
+        epoch: int = 0,
+        batch_in_epoch: int = 0,
+        keep: int = 0,
+    ) -> None:
+        self.wait()
+        snap = self._snapshot({"params": params, "opt_state": opt_state})
+        for leaf in jax.tree.leaves(snap):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+
+        def _write() -> None:
+            try:
+                save_checkpoint(
+                    log_dir, step, snap["params"], snap["opt_state"],
+                    epoch=epoch, batch_in_epoch=batch_in_epoch, keep=keep,
+                )
+            except BaseException as e:  # surfaced by the next wait()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=_write, name=f"ckpt-write-step-{step}", daemon=True
+        )
+        self._thread.start()
 
 
 def _place_like(template: Any, tree: Any) -> Any:

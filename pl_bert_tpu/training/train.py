@@ -44,6 +44,7 @@ from pl_bert_tpu.parallel.mesh import (
     shard_params,
 )
 from pl_bert_tpu.training.checkpoint import (
+    AsyncCheckpointWriter,
     checkpoint_path,
     find_latest_checkpoint,
     load_checkpoint,
@@ -406,6 +407,7 @@ class Trainer:
         # stacked [accum, B, ...] super-batches shard on the batch axis
         self.accum_sharding = microbatch_sharding(self.mesh)
         self.base_rng = jax.random.key(tp.seed, impl=tp.prng_impl)
+        self.ckpt_writer = AsyncCheckpointWriter() if tp.async_save else None
         self.metrics = MetricsLogger(
             log_dir, tp.log_interval, tp.wandb_project, config.to_dict()
         )
@@ -559,11 +561,7 @@ class Trainer:
                     self.current_step, epoch, metrics, tokens_per_batch
                 )
                 if self.current_step % tp.save_interval == 0:
-                    save_checkpoint(
-                        self.log_dir, self.current_step, self.state.params,
-                        self.state.opt_state, epoch, batch_idx,
-                        keep=tp.keep_checkpoints,
-                    )
+                    self._save(epoch, batch_idx)
                 self._maybe_inject_fault()
                 val_every = tp.val_interval or tp.save_interval
                 if self.current_step % val_every == 0:
@@ -576,16 +574,31 @@ class Trainer:
                     if self.current_step % tp.save_interval != 0:
                         # final-step checkpoint (improvement over the
                         # reference, which loses the post-save tail)
-                        save_checkpoint(
-                            self.log_dir, self.current_step, self.state.params,
-                            self.state.opt_state, epoch, batch_idx,
-                            keep=tp.keep_checkpoints,
-                        )
+                        self._save(epoch, batch_idx)
+                    if self.ckpt_writer is not None:
+                        self.ckpt_writer.wait()
                     self.metrics.flush()
                     return self.current_step
             epoch += 1
+        if self.ckpt_writer is not None:
+            self.ckpt_writer.wait()
         self.metrics.flush()
         return self.current_step
+
+    def _save(self, epoch: int, batch_idx: int) -> None:
+        tp = self.config.training_params
+        if self.ckpt_writer is not None:
+            self.ckpt_writer.submit(
+                self.log_dir, self.current_step, self.state.params,
+                self.state.opt_state, epoch, batch_idx,
+                keep=tp.keep_checkpoints,
+            )
+        else:
+            save_checkpoint(
+                self.log_dir, self.current_step, self.state.params,
+                self.state.opt_state, epoch, batch_idx,
+                keep=tp.keep_checkpoints,
+            )
 
 
 def maybe_init_distributed() -> None:
