@@ -19,6 +19,6 @@ Layer map (mirrors reference SURVEY.md §1, re-architected TPU-first):
     runtime/     native (C++) host-side hot paths
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 from pl_bert_tpu.text.symbols import symbols, CharacterIndexer  # noqa: F401
