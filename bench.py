@@ -31,7 +31,9 @@ Modes (VERDICT r1 items 7/10):
                    the 60k head in 16 GB HBM at all.
   --inference      the serving path (models/inference.py::PhonemeEncoder,
                    the StyleTTS consumption contract): encoder forward
-                   tokens/sec at batch 96 × seq 512, bf16.
+                   tokens/sec at batch 96 × seq 512, bf16. Add --int8
+                   to run the dense projections on the int8 MXU path
+                   (ops/quant.py; ~1% hidden-state error).
   --accum          gradient accumulation: effective batch 384 (4 × 96)
                    at a single micro-batch's activation memory, plus
                    the efficiency ratio vs the plain batch-96 step.
@@ -382,7 +384,7 @@ def run_accum(config, mesh, accum: int = 4) -> None:
     )
 
 
-def run_inference(config) -> None:
+def run_inference(config, int8: bool = False) -> None:
     """Serving-path throughput: the PhonemeEncoder forward (the
     reference's downstream contract — AlbertModel.last_hidden_state fed
     to StyleTTS, reference README.md:40-47) at batch 96 × seq 512, bf16.
@@ -400,7 +402,10 @@ def run_inference(config) -> None:
 
     model = build_model(config.model_params, "fp32")
     params = init_params(model, SEQ, seed=0)["encoder"]
-    enc = PhonemeEncoder(params, config.model_params, SEQ)
+    enc = PhonemeEncoder(
+        params, config.model_params, SEQ,
+        quantize="int8" if int8 else None,
+    )
 
     corpus = _full_length_corpus(BATCH * 4, seed=0)
     batches = []
@@ -427,7 +432,8 @@ def run_inference(config) -> None:
     print(
         json.dumps(
             {
-                "metric": "inference_encode_tokens_per_sec_per_chip",
+                "metric": "inference_encode_tokens_per_sec_per_chip"
+                + ("_int8" if int8 else ""),
                 "value": round(tokens_per_sec, 1),
                 "unit": "tokens/sec",
                 # anchor: the same analytic A100 reference stack,
@@ -682,7 +688,7 @@ def run_scaling(config, mesh) -> None:
 
 
 _KNOWN_FLAGS = {"--gate", "--packed", "--preprocess", "--multitask",
-                "--inference", "--store", "--scale", "--accum"}
+                "--inference", "--store", "--scale", "--accum", "--int8"}
 
 
 def main(argv: list[str]) -> None:
@@ -721,7 +727,9 @@ def main(argv: list[str]) -> None:
     if "--accum" in argv:
         return run_accum(config, mesh)
     if "--inference" in argv:
-        return run_inference(config)
+        return run_inference(config, int8="--int8" in argv)
+    if "--int8" in argv:
+        raise SystemExit("--int8 only modifies --inference")
     gate_floor = None
     if "--gate" in argv:
         i = argv.index("--gate")

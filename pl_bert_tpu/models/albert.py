@@ -52,6 +52,10 @@ class AlbertConfig:
     # kernels are invoked through the shard_map wrappers in parallel/tp.py
     # (GSPMD cannot partition a pallas_call); None/size-1 = direct calls
     mesh: Any = None
+    # inference-only: "int8" routes every nn.Dense matmul through the
+    # dynamic int8 MXU path (ops/quant.py) — 2x bf16 MXU rate for ~1%
+    # numeric error; the fused attention-block kernel stays bf16
+    quantize: str | None = None
 
     @classmethod
     def from_params(
@@ -200,12 +204,22 @@ def _dispatch_dropout_add_ln(cfg, x, residual, scale, bias, seed, rate):
 
 
 def _dense(cfg: AlbertConfig, features: int, name: str) -> nn.Dense:
+    kwargs = {}
+    if cfg.quantize is not None:
+        if cfg.quantize != "int8":
+            raise ValueError(
+                f"unsupported quantize mode {cfg.quantize!r}; only 'int8'"
+            )
+        from pl_bert_tpu.ops.quant import int8_dot_general
+
+        kwargs["dot_general"] = int8_dot_general
     return nn.Dense(
         features,
         dtype=cfg.dtype,
         param_dtype=jnp.float32,
         kernel_init=nn.initializers.normal(cfg.initializer_range),
         name=name,
+        **kwargs,
     )
 
 

@@ -29,13 +29,22 @@ class PhonemeEncoder:
         max_seq_length: int = 512,
         mixed_precision: str = "bf16",
         batch_size: int | None = None,
+        quantize: str | None = None,
     ) -> None:
         """``batch_size``: pad every call's batch dimension to this fixed
         size so XLA compiles the forward ONCE — without it each distinct
         number of input strings triggers a fresh (~seconds) compile, the
-        classic serving footgun under jit's static shapes."""
+        classic serving footgun under jit's static shapes.
+
+        ``quantize="int8"``: run the dense projections on the int8 MXU
+        path (2x the bf16 matmul rate on v5e for ~1% numeric error —
+        ops/quant.py). Inference-only; checkpoints stay fp32 on disk."""
+        import dataclasses
+
         dtype = jnp.bfloat16 if mixed_precision == "bf16" else jnp.float32
         self.cfg = AlbertConfig.from_params(model_params, dtype=dtype)
+        if quantize is not None:
+            self.cfg = dataclasses.replace(self.cfg, quantize=quantize)
         self.model = AlbertModel(self.cfg)
         self.params = params
         self.max_seq_length = max_seq_length
