@@ -26,9 +26,12 @@ def _block_rows(H: int) -> int:
     """Rows per grid step, bounded by scoped VMEM: the backward kernel
     keeps ~7 fp32 row-block intermediates live (x, mask, y, xhat, g,
     g·gamma, dy), and 256 rows measured 16.98M > the 16M scoped-vmem
-    limit at H=2048 on v5e — halve the rows as H doubles past 1024
-    (256 rows at H≤1024 is the measured-fast configuration)."""
-    return 256 if H <= 1024 else max(8, 256 * 1024 // H)
+    limit at H=2048 on v5e — shrink the rows as H grows past 1024
+    (256 rows at H≤1024 is the measured-fast configuration), keeping a
+    multiple of 8 so blocks stay (8, 128)-sublane aligned."""
+    if H <= 1024:
+        return 256
+    return max(8, (256 * 1024 // H) // 8 * 8)
 
 
 def _mask(shape, seed_ref, *, rate: float):
