@@ -177,6 +177,14 @@ class ModelParams:
     # TPU build extensions
     attention_impl: str = "auto"  # auto | xla | pallas
     num_token_vocab: int = 0  # >0 enables the grapheme (token) head
+    # Megatron-style sequence parallelism (with model_axis > 1): the
+    # attention out-projection reduce-scatters over the sequence instead
+    # of all-reducing, the dropout+add+LayerNorm kernels run on L/m
+    # sequence shards, and activations re-gather going into the TP FFN —
+    # same communication volume as plain TP, 1/m the LN-region activation
+    # memory and compute per chip. Requires max_seq_length % model_axis
+    # == 0; no effect when model_axis == 1.
+    sequence_parallel: bool = False
 
 
 @dataclass

@@ -56,6 +56,12 @@ class AlbertConfig:
     # dynamic int8 MXU path (ops/quant.py) — 2x bf16 MXU rate for ~1%
     # numeric error; the fused attention-block kernel stays bf16
     quantize: str | None = None
+    # Megatron-style sequence parallelism over the model axis (see
+    # config.ModelParams.sequence_parallel): reduce-scatter the attention
+    # output over L, run the LN/dropout kernels on L/m shards, re-gather
+    # into the TP FFN. Only changes WHERE activations live (shard_map
+    # specs + collectives); the global-array math is identical
+    sequence_parallel: bool = False
 
     @classmethod
     def from_params(
@@ -75,6 +81,7 @@ class AlbertConfig:
             initializer_range=p.initializer_range,
             hidden_act=p.hidden_act,
             attention_impl=p.attention_impl,
+            sequence_parallel=p.sequence_parallel,
             dtype=dtype,
             remat=remat,
         )
@@ -177,26 +184,49 @@ def _resolve_impl(cfg: AlbertConfig, seq_len: int) -> str:
     return "xla"
 
 
+def _sp_active(cfg: AlbertConfig, L: int) -> bool:
+    """Sequence parallelism applies: multi-device shard_map path with
+    model_axis > 1. An indivisible sequence fails loudly — the config
+    explicitly asked for SP, silently dropping it would hide a
+    misconfiguration."""
+    if not (cfg.sequence_parallel and cfg.use_shard_map):
+        return False
+    m = cfg.tp_size
+    if m <= 1:
+        return False
+    if L % m:
+        raise ValueError(
+            f"model_params.sequence_parallel requires seq_len {L} "
+            f"divisible by model_axis {m}"
+        )
+    return True
+
+
 def _local_rows(cfg: AlbertConfig, B: int, L: int) -> int:
     """Rows the fused-LN kernel sees per device (shard_map slices the
-    batch over the data axis)."""
+    batch over the data axis — and the sequence over the model axis
+    under sequence parallelism)."""
     if cfg.mesh is None:
         return B * L
     from pl_bert_tpu.parallel.mesh import DATA_AXIS
 
-    return (B // int(cfg.mesh.shape.get(DATA_AXIS, 1))) * L
+    rows = (B // int(cfg.mesh.shape.get(DATA_AXIS, 1))) * L
+    if _sp_active(cfg, L):
+        rows //= cfg.tp_size
+    return rows
 
 
 def _dispatch_dropout_add_ln(cfg, x, residual, scale, bias, seed, rate):
     """Fused dropout+add+LN: direct kernel single-device, shard_map on a
-    multi-device mesh."""
+    multi-device mesh (sequence-sharded under sequence parallelism)."""
     from pl_bert_tpu.ops.fused_ln import dropout_add_layernorm
 
     if cfg.use_shard_map:
         from pl_bert_tpu.parallel.tp import tp_dropout_add_layernorm
 
         return tp_dropout_add_layernorm(
-            cfg.mesh, x, residual, scale, bias, seed, rate, cfg.layer_norm_eps
+            cfg.mesh, x, residual, scale, bias, seed, rate,
+            cfg.layer_norm_eps, sp=_sp_active(cfg, x.shape[1]),
         )
     return dropout_add_layernorm(
         x, residual, scale, bias, seed, rate, cfg.layer_norm_eps
@@ -304,6 +334,7 @@ class AlbertSelfAttention(nn.Module):
                     cfg.mesh, hidden, wq, bq, wk, bk, wv, bv, wo, bo, nh,
                     bias=attention_bias, segment_ids=segment_ids,
                     out_dtype=cfg.dtype, dropout_rate=rate, dropout_seed=seed,
+                    sp=_sp_active(cfg, L),
                 )
             else:
                 out = attention_block(

@@ -54,12 +54,21 @@ def tp_attention_block(
     num_heads: int,
     bias=None, segment_ids=None, out_dtype=jnp.bfloat16,
     dropout_rate: float = 0.0, dropout_seed=None,
+    sp: bool = False,
 ):
     """shard_map-wrapped ops.attention_block.attention_block.
 
     Same contract as the single-shard kernel with FULL [E, E] weights;
     the per-shard slicing is expressed by the in_specs, so the caller
     passes the same (sharded) parameter arrays GSPMD already placed.
+
+    ``sp`` (sequence parallelism): the cross-shard combine of the
+    out-projection partials becomes a ``psum_scatter`` over the sequence
+    dim — same wire volume as the psum, but the result lands L/m-sharded
+    over ``model`` so the following LN/dropout region holds (and
+    saves for backward) only a sequence slice per chip. The global-array
+    VALUES are identical to sp=False; only the output sharding differs.
+    Requires L % m == 0.
     """
     from pl_bert_tpu.ops.attention_block import attention_block
 
@@ -77,6 +86,11 @@ def tp_attention_block(
     has_seg = segment_ids is not None
     seg = segment_ids if has_seg else jnp.zeros((B, L), jnp.int32)
 
+    if sp and L % m:
+        raise ValueError(
+            f"sequence parallelism needs seq_len {L} % model_axis {m} == 0"
+        )
+
     def local(x, wq, bq, wk, bk, wv, bv, wo, bias, seg, seed):
         seed = seed + _shard_seed_offset(m)
         part = attention_block(
@@ -88,6 +102,12 @@ def tp_attention_block(
             dropout_rate=rate,
             dropout_seed=seed if has_seed else None,
         )
+        if sp:
+            # reduce-scatter: shard r keeps the summed rows
+            # [r·L/m, (r+1)·L/m) — the out_spec's L tiling
+            return jax.lax.psum_scatter(
+                part, MODEL_AXIS, scatter_dimension=1, tiled=True
+            )
         return jax.lax.psum(part, MODEL_AXIS)
 
     batch3 = P(DATA_AXIS, None, None)
@@ -104,7 +124,7 @@ def tp_attention_block(
             P(DATA_AXIS, None),                  # segment ids
             P(),                                 # seed
         ),
-        out_specs=batch3,
+        out_specs=P(DATA_AXIS, MODEL_AXIS, None) if sp else batch3,
         check_vma=False,  # pallas_call outputs carry no vma info
     )(hidden, wq, bq, wk, bk, wv, bv, wo, bias, seg, seed)
     return (out + bo[None, None, :]).astype(out_dtype)
@@ -158,6 +178,7 @@ def tp_flash_attention(
 
 def tp_dropout_add_layernorm(
     mesh: Mesh, x, residual, scale, bias, seed, rate: float, eps: float,
+    sp: bool = False,
 ):
     """shard_map-wrapped ops.fused_ln.dropout_add_layernorm: purely
     row-local math, so each shard runs the kernel on its data slice and
@@ -165,7 +186,13 @@ def tp_dropout_add_layernorm(
     only: data shards get decorrelated dropout masks for their distinct
     batch slices, while model shards (which hold the SAME batch slice)
     keep the same seed and stay bitwise identical, as the out_spec's
-    replication over ``model`` requires."""
+    replication over ``model`` requires.
+
+    ``sp`` (sequence parallelism): inputs and output are additionally
+    sharded over ``model`` on the sequence dim — each chip normalizes
+    only its L/m slice (row-local math makes this exact, no collective),
+    and the seed folds in the model index too since model shards now
+    hold DIFFERENT rows."""
     from pl_bert_tpu.ops.fused_ln import dropout_add_layernorm
 
     has_seed = seed is not None
@@ -173,21 +200,25 @@ def tp_dropout_add_layernorm(
         seed.reshape(1).astype(jnp.int32) if has_seed
         else jnp.zeros((1,), jnp.int32)
     )
+    m = model_axis_size(mesh)
 
     def local(x, residual, scale, bias, seed_arr):
-        d = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
-        seed_arr = seed_arr + d * jnp.int32(_SEED_STRIDE)
+        if sp:
+            seed_arr = seed_arr + _shard_seed_offset(m)
+        else:
+            d = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+            seed_arr = seed_arr + d * jnp.int32(_SEED_STRIDE)
         return dropout_add_layernorm(
             x, residual, scale, bias,
             seed_arr if has_seed else None,
             rate if has_seed else 0.0, eps,
         )
 
-    batch3 = P(DATA_AXIS, None, None)
+    rows = P(DATA_AXIS, MODEL_AXIS, None) if sp else P(DATA_AXIS, None, None)
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(batch3, batch3, P(), P(), P()),
-        out_specs=batch3,
+        in_specs=(rows, rows, P(), P(), P()),
+        out_specs=rows,
         check_vma=False,  # pallas_call outputs carry no vma info
     )(x, residual, scale, bias, seed_arr)
