@@ -66,6 +66,31 @@ def test_sp_attention_block_values_match_psum():
     )
 
 
+def test_sp_compiles_to_reduce_scatter():
+    """The point of SP is the collective swap: the compiled HLO must
+    contain a reduce-scatter (and NO all-reduce) for the attention
+    output combine; the psum path compiles to an all-reduce."""
+    from pl_bert_tpu.parallel.tp import tp_attention_block
+
+    x, ws, bs, _ = _inputs()
+    mesh = _mesh_1x2()
+
+    def compiled_text(sp):
+        f = jax.jit(
+            lambda x: tp_attention_block(
+                mesh, x, ws["q"], bs["q"], ws["k"], bs["k"], ws["v"],
+                bs["v"], ws["o"], bs["o"], H, sp=sp, out_dtype=jnp.float32,
+            )
+        )
+        with pltpu.force_tpu_interpret_mode():
+            return f.lower(x).compile().as_text()
+
+    sp_hlo = compiled_text(True)
+    assert "reduce-scatter" in sp_hlo and "all-reduce" not in sp_hlo
+    no_hlo = compiled_text(False)
+    assert "all-reduce" in no_hlo and "reduce-scatter" not in no_hlo
+
+
 def test_sp_attention_block_rejects_indivisible_seq():
     from pl_bert_tpu.parallel.tp import tp_attention_block
 
