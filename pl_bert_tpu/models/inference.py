@@ -135,3 +135,83 @@ class PhonemeEncoder:
             np.asarray(hidden, dtype=np.float32)[: len(phoneme_strings)],
             lengths,
         )
+
+
+def main(argv=None) -> None:
+    """Serving CLI: phoneme strings → contextual embeddings on disk.
+
+    The reference's downstream consumption is ``AlbertModel(...).
+    last_hidden_state`` fed to StyleTTS per utterance (reference:
+    README.md:40-47) — this is that path as a batch tool::
+
+        python -m pl_bert_tpu.models.inference \\
+            --checkpoint ckpt/run/step_1000 --config_path configs/config.yml \\
+            --input phonemes.txt --output hidden.npz
+
+    ``--input`` is one phoneme string per line (``-`` = stdin). The
+    output ``.npz`` holds ``hidden`` [N, L, H] plus ``lengths`` [N]
+    (row i's valid prefix is ``hidden[i, :lengths[i]]``). The forward
+    compiles ONCE at ``--batch_size`` and streams the input through it.
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Encode phoneme strings to PL-BERT hidden states"
+    )
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--checkpoint", help="orbax step_N training checkpoint")
+    src.add_argument("--hf_dir", help="directory written by pl_bert_tpu.export")
+    parser.add_argument("--config_path",
+                        help="training config (required with --checkpoint)")
+    parser.add_argument("--input", required=True,
+                        help="phoneme strings, one per line ('-' = stdin)")
+    parser.add_argument("--output", required=True, help="output .npz path")
+    parser.add_argument("--batch_size", type=int, default=64,
+                        help="fixed compile batch (streamed in chunks)")
+    parser.add_argument("--dtype", choices=["float32", "float16"],
+                        default="float32", help="stored hidden dtype")
+    parser.add_argument("--int8", action="store_true",
+                        help="dynamic int8 dense projections (ops/quant.py)")
+    args = parser.parse_args(argv)
+
+    kwargs: dict = {
+        "batch_size": args.batch_size,
+        "quantize": "int8" if args.int8 else None,
+    }
+    if args.checkpoint:
+        if not args.config_path:
+            parser.error("--checkpoint requires --config_path")
+        enc = PhonemeEncoder.from_checkpoint(
+            args.checkpoint, args.config_path, **kwargs
+        )
+    else:
+        enc = PhonemeEncoder.from_hf_export(args.hf_dir, **kwargs)
+
+    import sys
+
+    fh = sys.stdin if args.input == "-" else open(args.input, encoding="utf-8")
+    with fh:
+        lines = [line.rstrip("\n") for line in fh if line.strip()]
+    if not lines:
+        parser.error("no non-empty input lines")
+
+    out_dtype = np.float16 if args.dtype == "float16" else np.float32
+    chunks, lens = [], []
+    for lo in range(0, len(lines), args.batch_size):
+        hidden, lengths = enc(lines[lo:lo + args.batch_size])
+        chunks.append(hidden.astype(out_dtype))
+        lens.append(lengths)
+    np.savez(
+        args.output,
+        hidden=np.concatenate(chunks),
+        lengths=np.concatenate(lens).astype(np.int32),
+    )
+    print(
+        f"encoded {len(lines)} strings -> {args.output} "
+        f"(hidden [{len(lines)}, {enc.max_seq_length}, "
+        f"{enc.cfg.hidden_size}] {args.dtype})"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -92,3 +92,47 @@ def test_fixed_batch_padding_matches_unpadded():
 
     with _pytest.raises(ValueError, match="fixed batch_size"):
         fixed(["x"] * 9)
+
+
+def test_encode_cli(tmp_path):
+    """The serving CLI streams input lines through a fixed-batch
+    encoder and writes hidden+lengths; rows must match the direct API."""
+    from pl_bert_tpu.models.inference import main as encode_main
+
+    path, config = _make_checkpoint(tmp_path)
+    cfg_path = str(tmp_path / "cfg.yml")
+    config.save(cfg_path)
+    lines = ["ˈmaʕna θaːbit", "qalam", "bajt ʃams"]
+    inp = tmp_path / "phonemes.txt"
+    inp.write_text("\n".join(lines) + "\n\n", encoding="utf-8")
+    out = tmp_path / "hidden.npz"
+    encode_main([
+        "--checkpoint", path, "--config_path", cfg_path,
+        "--input", str(inp), "--output", str(out),
+        "--batch_size", "2",  # 3 lines -> two chunks, last one padded
+    ])
+    data = np.load(out)
+    assert data["hidden"].shape == (3, 64, 64)
+    enc = PhonemeEncoder.from_checkpoint(path, config, mixed_precision="fp32")
+    ref_hidden, ref_lengths = enc(lines)
+    np.testing.assert_array_equal(data["lengths"], ref_lengths)
+    # the CLI keeps the constructor's bf16 default while the reference
+    # encoder here is fp32 — agreement to bf16 precision is the contract
+    np.testing.assert_allclose(
+        data["hidden"], ref_hidden, atol=2e-2, rtol=2e-2
+    )
+
+
+def test_encode_cli_rejects_empty_input(tmp_path):
+    from pl_bert_tpu.models.inference import main as encode_main
+
+    path, config = _make_checkpoint(tmp_path)
+    cfg_path = str(tmp_path / "cfg.yml")
+    config.save(cfg_path)
+    inp = tmp_path / "empty.txt"
+    inp.write_text("\n", encoding="utf-8")
+    with pytest.raises(SystemExit):
+        encode_main([
+            "--checkpoint", path, "--config_path", cfg_path,
+            "--input", str(inp), "--output", str(tmp_path / "o.npz"),
+        ])
