@@ -175,7 +175,8 @@ def test_two_process_training_saves_resumes_and_matches_single(tmp_path):
 
 TP_CONFIG = CONFIG.replace("model_axis: 1", "model_axis: 2").replace(
     "attention_impl: xla",
-    "attention_impl: xla\n  num_token_vocab: 128",
+    "attention_impl: xla\n  num_token_vocab: 128\n"
+    "  sequence_parallel: true",
 )
 
 
@@ -184,7 +185,9 @@ def test_two_process_tensor_parallel_step(tmp_path):
     mesh over 2 processes with the multi-task model — the vocab-parallel
     grapheme head's kernel shards live on different processes, so
     put_global's callback placement and GSPMD's cross-process
-    collectives both engage. Two steps to completion + finite losses."""
+    collectives both engage (with sequence_parallel on, so the
+    L-sharded activation layout spans processes too).
+    Two steps to completion + finite losses."""
     out_dir = str(tmp_path / "ckpt")
     cfg_path = str(tmp_path / "config.yml")
     with open(cfg_path, "w") as f:
