@@ -705,6 +705,10 @@ def main(argv: list[str]) -> None:
             continue
         raise SystemExit(f"unknown bench argument: {arg!r} (known: "
                          f"{sorted(_KNOWN_FLAGS)})")
+    if "--int8" in argv and "--inference" not in argv:
+        # before ANY mode dispatch: combined with another mode the flag
+        # would otherwise be silently ignored
+        raise SystemExit("--int8 only modifies --inference")
 
     if "--preprocess" in argv:
         return run_preprocess()
@@ -728,8 +732,6 @@ def main(argv: list[str]) -> None:
         return run_accum(config, mesh)
     if "--inference" in argv:
         return run_inference(config, int8="--int8" in argv)
-    if "--int8" in argv:
-        raise SystemExit("--int8 only modifies --inference")
     gate_floor = None
     if "--gate" in argv:
         i = argv.index("--gate")

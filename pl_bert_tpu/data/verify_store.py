@@ -158,6 +158,22 @@ def verify_store(path: str, quick: bool = False) -> dict:
             if int(off[0]) != 0 or int(off[-1]) != long_handles["long_labels"].shape[0]:
                 _fail(f"{d}: long_offsets ends at {int(off[-1])} but "
                       f"long_labels has {long_handles['long_labels'].shape[0]}")
+            # the full char streams are what per-epoch re-crops actually
+            # read — scan them too (and their tails hold token ids the
+            # cropped rows never show, so the meta max check NEEDS them)
+            total = long_handles["long_labels"].shape[0]
+            ll = long_handles["long_labels"].range(0, total)
+            if ll.min() < 0 or ll.max() >= NUM_SYMBOLS:
+                _fail(f"{d}: long-stream phoneme label outside "
+                      f"[0, {NUM_SYMBOLS})")
+            lw = long_handles["long_words"].range(0, total)
+            if lw.min() < -1:
+                _fail(f"{d}: long-stream word_id < -1")
+            if has_tokens:
+                lt = long_handles["long_tokens"].range(0, total)
+                if lt.min() < 0:
+                    _fail(f"{d}: negative long-stream token id")
+                max_tid = max(max_tid, int(lt.max()))
         for h in list(handles.values()) + list(long_handles.values()):
             h.close()
 
@@ -170,10 +186,17 @@ def verify_store(path: str, quick: bool = False) -> dict:
     if tokens_total != int(meta["total_tokens"]):
         _fail(f"{path}: counted {tokens_total} tokens, meta says "
               f"{meta['total_tokens']}")
-    if not quick and has_tokens and max_tid != int(meta["max_token_id"]):
-        _fail(f"{path}: max token id in data is {max_tid}, meta records "
-              f"{meta['max_token_id']} — Trainer's vocab check would be "
-              "wrong")
+    if not quick and has_tokens:
+        recorded = int(meta["max_token_id"])
+        # rows stores are scanned exhaustively (cropped rows + full long
+        # streams), so the writer's recorded max must match exactly; a
+        # packed_rows row layout may not expose every raw id, so only the
+        # DANGEROUS direction (data beyond what Trainer's vocab check
+        # trusts → silent CE clamping) is a failure there
+        if (kind == "rows" and max_tid != recorded) or max_tid > recorded:
+            _fail(f"{path}: max token id in data is {max_tid}, meta "
+                  f"records {recorded} — Trainer's vocab check would be "
+                  "wrong")
     return {
         "kind": kind,
         "shards": len(meta["shards"]),

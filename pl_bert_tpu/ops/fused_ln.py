@@ -26,12 +26,17 @@ def _block_rows(H: int) -> int:
     """Rows per grid step, bounded by scoped VMEM: the backward kernel
     keeps ~7 fp32 row-block intermediates live (x, mask, y, xhat, g,
     g·gamma, dy), and 256 rows measured 16.98M > the 16M scoped-vmem
-    limit at H=2048 on v5e — shrink the rows as H grows past 1024
-    (256 rows at H≤1024 is the measured-fast configuration), keeping a
-    multiple of 8 so blocks stay (8, 128)-sublane aligned."""
-    if H <= 1024:
-        return 256
-    return max(8, (256 * 1024 // H) // 8 * 8)
+    limit at H=2048 on v5e — halve the rows as H grows past 1024
+    (256 rows at H≤1024 is the measured-fast configuration). Powers of
+    two only: realistic row counts (B·L/shards — powers of two times
+    small factors) are divisible by 128/64 but NOT by the 168/200-style
+    blocks a proportional rule would give at non-power-of-two widths,
+    which would silently disable the kernel exactly where it was meant
+    to work."""
+    rows = 256
+    while rows > 8 and rows * H > 256 * 1024:
+        rows //= 2
+    return rows
 
 
 def _mask(shape, seed_ref, *, rate: float):

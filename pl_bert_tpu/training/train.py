@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import shutil
 import time
 
@@ -511,6 +512,26 @@ class Trainer:
         os._exit(17)
 
     def train(self) -> int:
+        """Run the loop; ALWAYS join the async checkpoint writer on the
+        way out — an exception escaping the loop must not orphan an
+        in-flight daemon write (the checkpoint would silently truncate
+        at interpreter exit) or swallow a stored write error."""
+        try:
+            return self._train_loop()
+        finally:
+            if self.ckpt_writer is not None:
+                in_flight = sys.exc_info()[1] is not None
+                try:
+                    self.ckpt_writer.wait()
+                except BaseException:
+                    if not in_flight:
+                        raise
+                    # don't mask the original exception; still surface it
+                    import traceback
+
+                    traceback.print_exc()
+
+    def _train_loop(self) -> int:
         tp = self.config.training_params
         dp = self.config.dataset_params
         tokens_per_batch = tp.batch_size * dp.max_seq_length * tp.grad_accum_steps
@@ -575,13 +596,10 @@ class Trainer:
                         # final-step checkpoint (improvement over the
                         # reference, which loses the post-save tail)
                         self._save(epoch, batch_idx)
-                    if self.ckpt_writer is not None:
-                        self.ckpt_writer.wait()
+                    # (the train() wrapper joins the async writer)
                     self.metrics.flush()
                     return self.current_step
             epoch += 1
-        if self.ckpt_writer is not None:
-            self.ckpt_writer.wait()
         self.metrics.flush()
         return self.current_step
 

@@ -144,3 +144,15 @@ def test_a100_anchor_derivation_reproduces():
     assert lo * 0.75 <= bench.REFERENCE_A100_TOKENS_PER_SEC <= hi * 1.25, (
         proc.stdout
     )
+
+
+def test_int8_without_inference_rejected():
+    """--int8 combined with any other mode must fail loudly BEFORE mode
+    dispatch — silently running bf16 while printing a normal metric is
+    the exact fallthrough the strict flag validation exists to stop."""
+    import bench
+
+    for mode in ("--multitask", "--accum", "--preprocess", None):
+        argv = [mode, "--int8"] if mode else ["--int8"]
+        with pytest.raises(SystemExit, match="inference"):
+            bench.main(argv)

@@ -70,3 +70,20 @@ def test_batched_shape_roundtrip():
     np.testing.assert_allclose(
         np.asarray(out).reshape(-1, H), np.asarray(ref), atol=2e-5, rtol=1e-5
     )
+
+
+def test_block_rows_divide_realistic_row_counts():
+    """Block rows must be powers of two bounded by the 256·1024 VMEM
+    budget: a proportional rule at non-power-of-two widths (168 at
+    H=1536) never divides the B·L row counts the model produces, which
+    silently disabled the kernel exactly where the bound was added."""
+    from pl_bert_tpu.ops.fused_ln import _block_rows, fused_supported
+
+    flagship_rows = 96 * 512
+    for H in (768, 1024, 1280, 1536, 1792, 2048, 4096):
+        rows = _block_rows(H)
+        assert rows & (rows - 1) == 0, (H, rows)  # power of two
+        assert rows * H <= 256 * 1024 or rows == 8, (H, rows)
+        assert flagship_rows % rows == 0, (H, rows)
+    assert _block_rows(768) == 256   # measured-fast flagship config
+    assert _block_rows(2048) == 128  # the measured VMEM bound

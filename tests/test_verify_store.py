@@ -124,3 +124,37 @@ def test_cli(store):
     )
     assert out.returncode == 1
     assert "CORRUPT" in out.stderr
+
+
+def _long_tail_store(tmp_path):
+    """Corpus whose GLOBAL max token id appears only in the tail of a
+    long sample — beyond the head-crop window, visible only in the
+    long_tokens stream (regression: the verifier must scan streams, not
+    just cropped rows, or it flags healthy stores as corrupt)."""
+    records = [
+        {"phonemes": ["ab"] * 100, "token_ids": [1] * 99 + [299]},
+    ] + [
+        {"phonemes": ["cd"] * 5, "token_ids": [2] * 5} for _ in range(10)
+    ]
+    return write_packed_store(
+        iter(records), str(tmp_path / "lt"), max_seq_length=128,
+        shard_rows=50,
+    )
+
+
+def test_healthy_long_tail_store_passes(tmp_path):
+    store = _long_tail_store(tmp_path)
+    meta = _meta(store)
+    assert meta["max_token_id"] == 299  # really only in the tail
+    stats = verify_store(store)
+    assert stats["max_token_id"] == 299
+
+
+def test_catches_corrupt_long_stream(tmp_path):
+    store = _long_tail_store(tmp_path)
+    path = os.path.join(store, "shard_00000", "long_labels.npy")
+    arr = np.load(path)
+    arr[-1] = 9999  # out of the 188-symbol table, in the tail only
+    np.save(path, arr)
+    with pytest.raises(StoreCorruption, match="long-stream phoneme"):
+        verify_store(store)

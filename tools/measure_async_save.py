@@ -46,9 +46,10 @@ def _window(state, train_step, rng, pool, saver) -> tuple[float, object]:
 
 
 def main() -> None:
-    out_root = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
-        prefix="plb_async_save_"
-    )
+    if len(sys.argv) > 1:
+        out_root, created_root = sys.argv[1], False
+    else:
+        out_root, created_root = tempfile.mkdtemp(prefix="plb_async_save_"), True
     config = Config.from_dict({})
     config.training_params.batch_size = bench.BATCH
     mesh = make_mesh(-1, 1)
@@ -82,7 +83,11 @@ def main() -> None:
     )
     writer.wait()  # the write must really land
 
-    shutil.rmtree(out_root, ignore_errors=True)
+    if created_root:  # never delete a user-supplied directory wholesale
+        shutil.rmtree(out_root, ignore_errors=True)
+    else:
+        for sub in ("warm", "sync", "async"):
+            shutil.rmtree(os.path.join(out_root, sub), ignore_errors=True)
     print(json.dumps({
         "metric": "checkpoint_save_stall_ms",
         "value": round((dt_sync - dt_none) * 1e3, 1),
