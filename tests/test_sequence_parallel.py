@@ -222,3 +222,42 @@ def test_sp_training_loss_matches_tp(tmp_path):
                 break
         losses[sp] = per_step
     np.testing.assert_allclose(losses[True], losses[False], rtol=2e-5)
+
+
+def test_sp_with_remat_forward(monkeypatch):
+    """SP under rematerialization (nn.remat wraps the shared layer at
+    large scales): the L-sharded shard_map islands must trace cleanly
+    inside the checkpointed layer and keep value parity."""
+    from pl_bert_tpu.models.albert import build_model, init_params
+    from pl_bert_tpu.ops import attention as attn_mod
+
+    mp = ModelParams(
+        hidden_size=E, num_attention_heads=H, intermediate_size=512,
+        max_position_embeddings=L, num_hidden_layers=2, embedding_size=64,
+        dropout=0.0, attention_impl="xla",
+    )
+    model_xla = build_model(mp, mixed_precision="fp32")
+    params = init_params(model_xla, max_seq_length=L, seed=1)
+    ids = jnp.asarray(
+        np.random.default_rng(1).integers(0, 188, (B, L)), jnp.int32
+    )
+    mask = jnp.ones((B, L), jnp.int32)
+    ref = model_xla.apply({"params": params}, ids, mask, deterministic=True)
+
+    mp_sp = dataclasses.replace(
+        mp, attention_impl="pallas_block", sequence_parallel=True
+    )
+    model_sp = build_model(
+        mp_sp, mixed_precision="fp32", mesh=_mesh_1x2(), remat=True
+    )
+    monkeypatch.setattr(
+        attn_mod, "fused_block_supported", lambda L, H, D: True
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = jax.jit(
+            lambda p, i, m: model_sp.apply({"params": p}, i, m,
+                                           deterministic=True)
+        )(params, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-3
+    )
