@@ -578,8 +578,11 @@ class Trainer:
                 self.current_step += 1
                 batch_idx += consumed
                 self.profiler.tick(self.current_step)
+                # a ragged final accum group consumed fewer loader
+                # batches — credit only the tokens actually stepped
+                step_tokens = tokens_per_batch * consumed // tp.grad_accum_steps
                 self.metrics.log_step(
-                    self.current_step, epoch, metrics, tokens_per_batch
+                    self.current_step, epoch, metrics, step_tokens
                 )
                 if self.current_step % tp.save_interval == 0:
                     self._save(epoch, batch_idx)
