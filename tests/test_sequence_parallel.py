@@ -261,3 +261,42 @@ def test_sp_with_remat_forward(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-3
     )
+
+
+def test_sp_attention_block_gradients_match():
+    """Backward through the SP path: the psum_scatter's transpose (an
+    all-gather over L) must produce the same gradients as the psum path
+    for the input and every weight/bias."""
+    from pl_bert_tpu.parallel.tp import tp_attention_block
+
+    x, ws, bs, bias = _inputs(seed=1)
+    dout = jnp.asarray(
+        np.random.default_rng(2).standard_normal((B, L, E)) * 0.1, jnp.float32
+    )
+
+    def loss(sp):
+        def f(x, ws, bs):
+            out = tp_attention_block(
+                _mesh_1x2(), x, ws["q"], bs["q"], ws["k"], bs["k"],
+                ws["v"], bs["v"], ws["o"], bs["o"], H, bias=bias,
+                out_dtype=jnp.float32, sp=sp,
+            )
+            return jnp.sum(out * dout)
+        return f
+
+    with pltpu.force_tpu_interpret_mode():
+        g_ref = jax.grad(loss(False), argnums=(0, 1, 2))(x, ws, bs)
+        g_sp = jax.grad(loss(True), argnums=(0, 1, 2))(x, ws, bs)
+    np.testing.assert_allclose(
+        np.asarray(g_sp[0]), np.asarray(g_ref[0]), atol=5e-4, rtol=2e-3,
+        err_msg="dx",
+    )
+    for n in "qkvo":
+        np.testing.assert_allclose(
+            np.asarray(g_sp[1][n]), np.asarray(g_ref[1][n]),
+            atol=5e-4, rtol=2e-3, err_msg=f"dW{n}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_sp[2][n]), np.asarray(g_ref[2][n]),
+            atol=5e-4, rtol=2e-3, err_msg=f"db{n}",
+        )
