@@ -145,7 +145,13 @@ def verify_store(path: str, quick: bool = False) -> dict:
                 if n:
                     if t[:n].min() < 0:
                         _fail(f"{d}: row {i} negative token id")
-                    max_tid = max(max_tid, int(t[:n].max()))
+                    # separator positions (word_id -1) carry the
+                    # token_separator id, which the writer's recorded
+                    # max (over RAW per-word ids) does not include —
+                    # count word positions only
+                    words = t[:n][w[:n] >= 0]
+                    if words.size:
+                        max_tid = max(max_tid, int(words.max()))
         if kind == "rows" and long_handles["long_rows"].shape[0]:
             k = long_handles["long_rows"].shape[0]
             lr = long_handles["long_rows"].range(0, k)
@@ -162,6 +168,13 @@ def verify_store(path: str, quick: bool = False) -> dict:
             # read — scan them too (and their tails hold token ids the
             # cropped rows never show, so the meta max check NEEDS them)
             total = long_handles["long_labels"].shape[0]
+            for name in ("long_words", "long_tokens") if has_tokens else (
+                "long_words",
+            ):
+                got_n = long_handles[name].shape[0]
+                if got_n != total:  # e.g. a shard file swapped in a copy
+                    _fail(f"{d}: {name}.npy has {got_n} entries, "
+                          f"long_labels has {total}")
             ll = long_handles["long_labels"].range(0, total)
             if ll.min() < 0 or ll.max() >= NUM_SYMBOLS:
                 _fail(f"{d}: long-stream phoneme label outside "
@@ -173,7 +186,9 @@ def verify_store(path: str, quick: bool = False) -> dict:
                 lt = long_handles["long_tokens"].range(0, total)
                 if lt.min() < 0:
                     _fail(f"{d}: negative long-stream token id")
-                max_tid = max(max_tid, int(lt.max()))
+                words = lt[lw >= 0]  # same separator exclusion as rows
+                if words.size:
+                    max_tid = max(max_tid, int(words.max()))
         for h in list(handles.values()) + list(long_handles.values()):
             h.close()
 
@@ -186,17 +201,15 @@ def verify_store(path: str, quick: bool = False) -> dict:
     if tokens_total != int(meta["total_tokens"]):
         _fail(f"{path}: counted {tokens_total} tokens, meta says "
               f"{meta['total_tokens']}")
-    if not quick and has_tokens:
-        recorded = int(meta["max_token_id"])
-        # rows stores are scanned exhaustively (cropped rows + full long
-        # streams), so the writer's recorded max must match exactly; a
-        # packed_rows row layout may not expose every raw id, so only the
-        # DANGEROUS direction (data beyond what Trainer's vocab check
-        # trusts → silent CE clamping) is a failure there
-        if (kind == "rows" and max_tid != recorded) or max_tid > recorded:
-            _fail(f"{path}: max token id in data is {max_tid}, meta "
-                  f"records {recorded} — Trainer's vocab check would be "
-                  "wrong")
+    if not quick and has_tokens and max_tid > int(meta["max_token_id"]):
+        # only the DANGEROUS direction fails: ids beyond what Trainer's
+        # vocab check trusts would be silently clamped by the CE. The
+        # reverse (recorded > scanned) is legitimate — an id may never
+        # land at a scannable word position (zero-length words; rows a
+        # packed layout crops).
+        _fail(f"{path}: max token id in data is {max_tid}, meta records "
+              f"{meta['max_token_id']} — Trainer's vocab check would be "
+              "wrong")
     return {
         "kind": kind,
         "shards": len(meta["shards"]),

@@ -216,6 +216,30 @@ def _local_rows(cfg: AlbertConfig, B: int, L: int) -> int:
     return rows
 
 
+def _sp_constrain(cfg: AlbertConfig, x):
+    """Under sequence parallelism, anchor a [B, L, E] activation to the
+    (data, model-over-L) layout for paths whose sharding is expressed
+    through GSPMD rather than shard_map (the XLA attention fallback and
+    the unfused LN sites) — so SP is real on every path, not only the
+    Pallas one, and GSPMD inserts the gather/scatter collectives
+    around it."""
+    if not _sp_active(cfg, x.shape[1]):
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pl_bert_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    # A batch smaller than the data axis (e.g. per-utterance serving)
+    # can't be batch-sharded — keep it replicated over data and shard
+    # the sequence only; SP's point is the L dimension anyway.
+    data = DATA_AXIS if x.shape[0] % int(
+        cfg.mesh.shape.get(DATA_AXIS, 1)
+    ) == 0 else None
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(cfg.mesh, P(data, MODEL_AXIS, None))
+    )
+
+
 def _dispatch_dropout_add_ln(cfg, x, residual, scale, bias, seed, rate):
     """Fused dropout+add+LN: direct kernel single-device, shard_map on a
     multi-device mesh (sequence-sharded under sequence parallelism)."""
@@ -349,10 +373,10 @@ class AlbertSelfAttention(nn.Module):
                     cfg, out, hidden, scale, bias_p, seed, rate
                 )
             out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
-            return nn.LayerNorm(
+            return _sp_constrain(cfg, nn.LayerNorm(
                 epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                 param_dtype=jnp.float32, name="LayerNorm",
-            )(hidden + out)
+            )(hidden + out))
 
         q = _dense(cfg, H, "query")(hidden).reshape(B, L, nh, hd)
         k = _dense(cfg, H, "key")(hidden).reshape(B, L, nh, hd)
@@ -406,10 +430,10 @@ class AlbertSelfAttention(nn.Module):
             )
         else:
             out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
-            out = nn.LayerNorm(
+            out = _sp_constrain(cfg, nn.LayerNorm(
                 epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                 param_dtype=jnp.float32, name="LayerNorm",
-            )(hidden + out)
+            )(hidden + out))
         return out
 
 
@@ -446,10 +470,10 @@ class AlbertLayer(nn.Module):
                 cfg, ffn, attn_out, scale, bias_p, seed, rate
             )
         ffn = nn.Dropout(cfg.dropout)(ffn, deterministic=deterministic)
-        return nn.LayerNorm(
+        return _sp_constrain(cfg, nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
             param_dtype=jnp.float32, name="full_layer_layer_norm",
-        )(ffn + attn_out)
+        )(ffn + attn_out))
 
 
 class AlbertEncoder(nn.Module):

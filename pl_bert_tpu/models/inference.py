@@ -191,7 +191,9 @@ def main(argv=None) -> None:
 
     fh = sys.stdin if args.input == "-" else open(args.input, encoding="utf-8")
     with fh:
-        lines = [line.rstrip("\n") for line in fh if line.strip()]
+        # rstrip \r too: a CRLF-authored file would otherwise append a
+        # silent UNKNOWN symbol to every utterance via encode()'s OOV map
+        lines = [line.rstrip("\r\n") for line in fh if line.strip()]
     if not lines:
         parser.error("no non-empty input lines")
 

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 import shutil
 import time
 
@@ -516,15 +515,21 @@ class Trainer:
         way out — an exception escaping the loop must not orphan an
         in-flight daemon write (the checkpoint would silently truncate
         at interpreter exit) or swallow a stored write error."""
+        loop_error: BaseException | None = None
         try:
             return self._train_loop()
+        except BaseException as e:
+            # captured explicitly — sys.exc_info() in the finally would
+            # also be truthy when train() is CALLED from an except block,
+            # spuriously downgrading a failed write to a printed warning
+            loop_error = e
+            raise
         finally:
             if self.ckpt_writer is not None:
-                in_flight = sys.exc_info()[1] is not None
                 try:
                     self.ckpt_writer.wait()
                 except BaseException:
-                    if not in_flight:
+                    if loop_error is None:
                         raise
                     # don't mask the original exception; still surface it
                     import traceback

@@ -91,10 +91,34 @@ def test_catches_out_of_range_label(store):
 
 
 def test_catches_token_max_drift(store):
+    # the dangerous direction: data holds ids BEYOND what the meta (and
+    # therefore Trainer's vocab check) records → CE would silently clamp
     meta = _meta(store)
-    meta["max_token_id"] += 5  # Trainer would size its vocab check off this
+    meta["max_token_id"] -= 5
     _write_meta(store, meta)
     with pytest.raises(StoreCorruption, match="max token id"):
+        verify_store(store)
+
+
+def test_small_vocab_store_passes(tmp_path):
+    """Separator positions carry token_separator (87) in the packed
+    token planes; a corpus whose raw vocab sits BELOW 87 must still
+    verify clean (regression: counting separator ids flagged every
+    small-vocab store as corrupt)."""
+    corpus = make_synthetic_corpus(40, seed=7, token_vocab=50)
+    store = write_packed_store(
+        iter(corpus), str(tmp_path / "sv"), max_seq_length=128, shard_rows=20
+    )
+    stats = verify_store(store)
+    assert stats["max_token_id"] < 87 <= _meta(store)["token_separator"] + 1
+
+
+def test_catches_swapped_long_stream_file(tmp_path):
+    store = _long_tail_store(tmp_path)
+    d = os.path.join(store, "shard_00000")
+    short = np.load(os.path.join(d, "long_words.npy"))[:-10]
+    np.save(os.path.join(d, "long_words.npy"), short)
+    with pytest.raises(StoreCorruption, match="long_words"):
         verify_store(store)
 
 
