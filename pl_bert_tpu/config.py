@@ -113,6 +113,14 @@ class TrainingParams:
     # buffers can advance immediately) instead of blocking the step loop
     # on the device→host transfer + disk IO every save_interval
     async_save: bool = False
+    # TPU build extension: ZeRO-1 optimizer-state sharding — partition
+    # the AdamW moments over the data axis (each leaf's first evenly
+    # divisible, not-already-model-sharded dim). The reference
+    # replicates optimizer state per DDP rank; this drops it to
+    # ~1/data_axis per chip and runs the elementwise update sharded,
+    # with the step math unchanged (tests/test_zero1.py asserts step
+    # parity). No effect on a single-device (or model-only) mesh.
+    zero1: bool = False
 
     def __post_init__(self) -> None:
         self.learning_rate = float(self.learning_rate)

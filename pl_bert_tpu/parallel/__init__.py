@@ -4,4 +4,5 @@ from pl_bert_tpu.parallel.mesh import (  # noqa: F401
     param_shardings,
     replicated,
     shard_params,
+    zero1_shardings,
 )

@@ -97,6 +97,53 @@ def param_shardings(mesh: Mesh, params) -> dict:
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+def zero1_shardings(mesh: Mesh, tree) -> dict:
+    """ZeRO-1 shardings for the optimizer state: each moment leaf keeps
+    its tensor-parallel spec (the path-suffix rules above — optimizer
+    paths end in the param path, so suffix matching applies unchanged)
+    and ADDITIONALLY shards its first still-replicated, evenly-divisible
+    dimension over the data axis.
+
+    The reference replicates AdamW state per DDP rank (torch AdamW under
+    accelerate, reference: train.py:272); at the multi-task shape the
+    fp32 moments are ~430 MB per chip. Under GSPMD this single
+    placement decision makes XLA compute the AdamW update sharded over
+    the data axis and all-gather only the parameter delta — optimizer
+    memory drops ~1/data_axis with no change to the update math
+    (tests/test_zero1.py asserts bitwise step parity vs replicated
+    state).
+
+    ``tree`` is the optimizer-state pytree (or its eval_shape); scalars
+    (adam counts) and non-divisible dims stay replicated.
+    """
+    dp = int(mesh.shape.get(DATA_AXIS, 1))
+
+    def assign(path, leaf):
+        keys = tuple(getattr(k, "key", str(k)) for k in path)
+        shape = tuple(getattr(leaf, "shape", ()))
+        base = tuple(_spec_for(keys))
+        spec = list(base) + [None] * (len(shape) - len(base))
+        if dp > 1:
+            for i, dim in enumerate(shape):
+                # stack the data axis ONTO any tensor-parallel axes
+                # already on this dim (e.g. a TP-sharded bias) when the
+                # dim divides by the combined factor
+                axes = (
+                    () if spec[i] is None
+                    else (spec[i],) if isinstance(spec[i], str)
+                    else tuple(spec[i])
+                )
+                factor = dp
+                for a in axes:
+                    factor *= int(mesh.shape.get(a, 1))
+                if dim % factor == 0:
+                    spec[i] = (*axes, DATA_AXIS) if axes else DATA_AXIS
+                    break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(assign, tree)
+
+
 def put_global(value, sharding: NamedSharding):
     """``device_put`` that also works when ``sharding`` spans processes.
 

@@ -42,6 +42,7 @@ from pl_bert_tpu.parallel.mesh import (
     param_shardings,
     put_global,
     shard_params,
+    zero1_shardings,
 )
 from pl_bert_tpu.training.checkpoint import (
     AsyncCheckpointWriter,
@@ -364,8 +365,15 @@ class Trainer:
         # init params on host, then shard onto the mesh
         params = init_params(self.model, dp.max_seq_length, seed=tp.seed)
         params = shard_params(params, self.mesh)
+        # ZeRO-1 (training_params.zero1): the moments shard over the
+        # data axis on top of the tensor-parallel specs; otherwise they
+        # mirror the params' shardings exactly
+        opt_sharding_fn = zero1_shardings if tp.zero1 else param_shardings
+        self.opt_shardings = opt_sharding_fn(
+            self.mesh, jax.eval_shape(self.tx.init, params)
+        )
         opt_state = jax.jit(
-            self.tx.init, out_shardings=param_shardings(self.mesh, jax.eval_shape(self.tx.init, params))
+            self.tx.init, out_shardings=self.opt_shardings
         )(params)
 
         self.state = TrainState(
@@ -399,6 +407,7 @@ class Trainer:
             masking_params=self.masking_params,
             grad_accum=tp.grad_accum_steps,
             lr_schedule=make_lr_schedule(tp),
+            opt_shardings=self.opt_shardings if tp.zero1 else None,
         )
         self.eval_step = make_eval_step(
             self.model, self.use_token_ids, masking_params=self.masking_params

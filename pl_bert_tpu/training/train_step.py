@@ -179,6 +179,7 @@ def make_train_step(
     masking_params=None,
     grad_accum: int = 1,
     lr_schedule=None,
+    opt_shardings=None,
 ):
     """Build the jitted (state, batch, rng) → (state, metrics) step.
 
@@ -198,7 +199,17 @@ def make_train_step(
     mask — an unweighted mean-of-means would instead dilute ragged
     final groups padded with empty micro-batches). Identity is modulo
     the dropout/masking RNG streams, which fold in the micro index;
-    tests assert exact equality at dropout 0 (tests/test_grad_accum.py)."""
+    tests assert exact equality at dropout 0 (tests/test_grad_accum.py).
+
+    ``opt_shardings`` (ZeRO-1, parallel/mesh.py::zero1_shardings) pins
+    the updated optimizer state to data-axis-sharded layouts inside the
+    jit, so XLA keeps the AdamW moments and their elementwise update
+    partitioned instead of re-replicating them between steps."""
+
+    def _constrain_opt(opt_state):
+        if opt_shardings is None:
+            return opt_state
+        return jax.lax.with_sharding_constraint(opt_state, opt_shardings)
 
     def micro_grads(params, mb: dict, mrng: jax.Array):
         """(Σ per-sample-mean grads, Σ weighted losses, n_samples)."""
@@ -245,6 +256,7 @@ def make_train_step(
         loss_p = p_sum / denom
         loss_t = t_sum / denom
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        opt_state = _constrain_opt(opt_state)
         params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss": loss_p + loss_t,
@@ -272,6 +284,7 @@ def make_train_step(
             loss_fn, has_aux=True
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        opt_state = _constrain_opt(opt_state)
         params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss": loss,
