@@ -173,7 +173,9 @@ def test_two_process_training_saves_resumes_and_matches_single(tmp_path):
         assert abs(l - mp_losses[step]) < 1e-4, (step, l, mp_losses[step])
 
 
-TP_CONFIG = CONFIG.replace("model_axis: 1", "model_axis: 2").replace(
+TP_CONFIG = CONFIG.replace(
+    "model_axis: 1", "model_axis: 2\n  zero1: true"
+).replace(
     "attention_impl: xla",
     "attention_impl: xla\n  num_token_vocab: 128\n"
     "  sequence_parallel: true",
@@ -186,7 +188,8 @@ def test_two_process_tensor_parallel_step(tmp_path):
     grapheme head's kernel shards live on different processes, so
     put_global's callback placement and GSPMD's cross-process
     collectives both engage (with sequence_parallel on, so the
-    L-sharded activation layout spans processes too).
+    L-sharded activation layout spans processes too, and zero1 on, so
+    the AdamW moments are partitioned across process boundaries).
     Two steps to completion + finite losses."""
     out_dir = str(tmp_path / "ckpt")
     cfg_path = str(tmp_path / "config.yml")
