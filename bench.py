@@ -743,5 +743,41 @@ def main(argv: list[str]) -> None:
     run_default(config, mesh, gate_floor)
 
 
+def _run_with_retry(argv: list[str]) -> None:
+    """Run main(); on failure in a device-requiring mode, re-exec this
+    process (bounded attempts) instead of dying.
+
+    The axon tunnel to the TPU degrades periodically (CLAUDE.md); a
+    blip during the measurement would otherwise turn a healthy build
+    into a failed bench record. A failed jax backend handle cannot be
+    reused in-process, so retry = fresh exec. Every failure's full
+    traceback still goes to stderr (nothing is masked), and a real bug
+    fails all attempts and exits nonzero exactly as before.
+    """
+    host_only = {"--preprocess", "--store"}
+    attempt = int(os.environ.get("PLBERT_BENCH_ATTEMPT", "1"))
+    max_attempts = int(os.environ.get("PLBERT_BENCH_MAX_ATTEMPTS", "4"))
+    try:
+        main(argv)
+    except SystemExit:
+        raise
+    except BaseException:
+        import traceback
+
+        traceback.print_exc()
+        device_mode = not (set(argv) & host_only)
+        if not device_mode or attempt >= max_attempts:
+            raise
+        delay = 90 * attempt
+        print(
+            f"bench attempt {attempt}/{max_attempts} failed; "
+            f"re-exec in {delay}s (transient-tunnel insurance)",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(delay)
+        os.environ["PLBERT_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__), *argv])
+
+
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    _run_with_retry(sys.argv[1:])
