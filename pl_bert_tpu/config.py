@@ -121,10 +121,21 @@ class TrainingParams:
     # with the step math unchanged (tests/test_zero1.py asserts step
     # parity). No effect on a single-device (or model-only) mesh.
     zero1: bool = False
+    # TPU build extension: clip the global gradient norm to this value
+    # before the AdamW update (optax.clip_by_global_norm). 0 disables —
+    # the reference applies no clipping (reference: train.py:272), so
+    # the default reproduces its update exactly. The per-step norm is
+    # already reported as the ``grad_norm`` metric either way.
+    grad_clip_norm: float = 0.0
 
     def __post_init__(self) -> None:
         self.learning_rate = float(self.learning_rate)
         self.lr_min_ratio = float(self.lr_min_ratio)
+        self.grad_clip_norm = float(self.grad_clip_norm)
+        if self.grad_clip_norm < 0:
+            raise ConfigError(
+                f"grad_clip_norm must be >= 0, got {self.grad_clip_norm}"
+            )
         if self.mixed_precision not in ("fp32", "bf16", "fp16", "no"):
             raise ConfigError(f"bad mixed_precision: {self.mixed_precision}")
         if self.grad_accum_steps < 1:

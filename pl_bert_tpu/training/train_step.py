@@ -78,7 +78,7 @@ def make_lr_schedule(tp: TrainingParams):
 
 def make_optimizer(tp: TrainingParams) -> optax.GradientTransformation:
     schedule = make_lr_schedule(tp)
-    return optax.adamw(
+    adamw = optax.adamw(
         learning_rate=tp.learning_rate if schedule is None else schedule,
         b1=tp.adam_b1,
         b2=tp.adam_b2,
@@ -86,6 +86,14 @@ def make_optimizer(tp: TrainingParams) -> optax.GradientTransformation:
         weight_decay=tp.weight_decay,
         mask=_decay_mask,
     )
+    if tp.grad_clip_norm > 0:
+        # clip BEFORE the moment updates, the standard transformer
+        # recipe; grad_clip_norm 0 keeps the reference's unclipped
+        # update bit-for-bit (no chain wrapper at all)
+        return optax.chain(
+            optax.clip_by_global_norm(tp.grad_clip_norm), adamw
+        )
+    return adamw
 
 
 def _forward_loss(
