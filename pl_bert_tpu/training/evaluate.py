@@ -1,0 +1,107 @@
+"""Standalone checkpoint evaluation: phoneme loss + masked accuracy on
+the validation split, without a training run.
+
+The reference can only validate from INSIDE its training loop
+(reference: train.py:288-304 ``run_validation_and_log``) — comparing
+two saved checkpoints means spinning the trainer up twice and reading
+wandb. This CLI evaluates any checkpoint against the dataset configured
+in the YAML using the training stack's exact validation semantics: the
+same 95/5 split (reference: dataloader.py:231), the same deterministic
+masking stream, the same padding and sharding.
+
+Accepted checkpoint forms (everything ``load_params_only`` takes):
+  - this build's orbax ``step_N`` directory,
+  - a run directory — the latest ``step_N`` inside is picked, matching
+    the resume rule (reference: train.py:46-79),
+  - a reference torch ``step_N.pth`` (export/from_torch), so a
+    published reference checkpoint can be scored on TPU directly.
+
+    python -m pl_bert_tpu.training.evaluate \
+        --config_path configs/config.yml --checkpoint ckpt/run/step_1000
+
+Prints ONE JSON line:
+    {"checkpoint", "val_phoneme_loss", "val_masked_accuracy",
+     "val_batches"}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import tempfile
+
+from pl_bert_tpu.config import Config
+from pl_bert_tpu.training.checkpoint import (
+    checkpoint_path,
+    find_latest_checkpoint,
+)
+
+
+def _resolve_checkpoint(path: str) -> str:
+    """A run directory resolves to its latest step_N; anything else
+    (an orbax step dir, a torch .pth) passes through."""
+    if os.path.isdir(path):
+        found, latest = find_latest_checkpoint(path)
+        if found:
+            return checkpoint_path(path, latest)
+    return path
+
+
+def evaluate(args: dict, dataset=None) -> dict:
+    """Programmatic entry; ``dataset`` overrides the configured one
+    (same contract as training.train.train)."""
+    from pl_bert_tpu.training.checkpoint import load_params_only
+    from pl_bert_tpu.training.train import Trainer
+
+    config = Config.load(args["config_path"])
+    # evaluation must not depend on the warm-start path (and must not
+    # double-load): the scored params come from --checkpoint alone
+    config.model_params = dataclasses.replace(
+        config.model_params, pretrained_model=""
+    )
+    ckpt = _resolve_checkpoint(args["checkpoint"])
+
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = Trainer(config, tmp, False, dataset=dataset)
+        try:
+            params = load_params_only(ckpt, trainer.state.params)
+            trainer.state = trainer.state._replace(params=params)
+            result = trainer.validate()
+        finally:
+            trainer.metrics.close()
+    if result is None:
+        raise SystemExit("validation split is empty — nothing to evaluate")
+    loss, acc = result
+    out = {
+        "checkpoint": ckpt,
+        "val_phoneme_loss": round(loss, 6),
+        "val_masked_accuracy": round(acc, 6),
+        "val_batches": len(list(trainer._val_batches())),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Evaluate a checkpoint on the configured dataset's "
+        "validation split (loss + masked accuracy)."
+    )
+    parser.add_argument(
+        "--checkpoint", required=True,
+        help="orbax step_N dir, a run dir (latest step picked), or a "
+        "reference torch step_N.pth",
+    )
+    parser.add_argument(
+        "--config_path", default="configs/config.yml",
+        help="YAML config naming the dataset and model shape",
+    )
+    ns = parser.parse_args(argv)
+    evaluate({"checkpoint": ns.checkpoint, "config_path": ns.config_path})
+
+
+if __name__ == "__main__":
+    main()
