@@ -70,12 +70,15 @@ model_params:
   num_hidden_layers: 4
   embedding_size: 128
 YML
-cat > "$WORK/corpus.txt" <<'TXT'
+cat > "$WORK/base_corpus.txt" <<'TXT'
 ولد الكاتب عام 1986 في مدينة كبيرة، وكان يحب القراءة منذ الصغر.
 العلم نور والجهل ظلام، والقراءة مفتاح المعرفة لكل إنسان.
 ذهب الطفل إلى المدرسة صباحا، وعاد إلى البيت مساء وهو سعيد.
 كتب 3 رسائل إلى أصدقائه القدامى في المدينة البعيدة جدا.
 TXT
+# 40 articles so the reference's 95/5 split semantics (int(0.05*N))
+# leave a non-empty validation set for the evaluate steps below
+for _ in $(seq 1 10); do cat "$WORK/base_corpus.txt"; done > "$WORK/corpus.txt"
 python -m pl_bert_tpu.preprocess.pipeline --config_path "$WORK/config.yml" \
     --local_dataset_path "$WORK/corpus.txt" --stage clean
 python -m pl_bert_tpu.preprocess.pipeline --config_path "$WORK/config.yml" \
@@ -83,11 +86,19 @@ python -m pl_bert_tpu.preprocess.pipeline --config_path "$WORK/config.yml" \
 python -m pl_bert_tpu.preprocess.pipeline --config_path "$WORK/config.yml" \
     --stage pack --dataset_path "$WORK/prep/cleaned.phonemized"
 
-echo "== 3. continue the reference run on TPU (warm-start from .pth) =="
+echo "== 3. score the reference checkpoint as-is (no training needed) =="
+python -m pl_bert_tpu.training.evaluate --config_path "$WORK/config.yml" \
+    --checkpoint "$WORK/reference_step_100000.pth"
+
+echo "== 4. continue the reference run on TPU (warm-start from .pth) =="
 python -m pl_bert_tpu.training.train --config_path "$WORK/config.yml" \
     --run_name migrated
 
-echo "== 4. export the continued run for StyleTTS =="
+echo "== 5. score the continued run =="
+python -m pl_bert_tpu.training.evaluate --config_path "$WORK/config.yml" \
+    --checkpoint "$WORK/ckpt/migrated"
+
+echo "== 6. export the continued run for StyleTTS =="
 python -m pl_bert_tpu.export.cli \
     --checkpoint_path "$WORK/ckpt/migrated/step_10" \
     --config_path "$WORK/config.yml" \
