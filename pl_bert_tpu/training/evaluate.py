@@ -60,6 +60,12 @@ def evaluate(args: dict, dataset=None) -> dict:
     config.model_params = dataclasses.replace(
         config.model_params, pretrained_model=""
     )
+    if args.get("dataset_path"):
+        # score on an arbitrary corpus/store instead of the configured
+        # training dataset (e.g. a held-out pack)
+        config.training_params = dataclasses.replace(
+            config.training_params, training_dataset=args["dataset_path"]
+        )
     ckpt = _resolve_checkpoint(args["checkpoint"])
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -99,8 +105,17 @@ def main(argv=None) -> None:
         "--config_path", default="configs/config.yml",
         help="YAML config naming the dataset and model shape",
     )
+    parser.add_argument(
+        "--dataset_path", default="",
+        help="override training_params.training_dataset — score on this "
+        "corpus/packed store instead",
+    )
     ns = parser.parse_args(argv)
-    evaluate({"checkpoint": ns.checkpoint, "config_path": ns.config_path})
+    evaluate({
+        "checkpoint": ns.checkpoint,
+        "config_path": ns.config_path,
+        "dataset_path": ns.dataset_path,
+    })
 
 
 if __name__ == "__main__":
