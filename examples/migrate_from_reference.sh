@@ -1,13 +1,17 @@
 #!/usr/bin/env bash
 # Migration demo: continue a REFERENCE (torch) PL-BERT run on TPU.
 #
-# 1. fabricates a reference-format step_N.pth checkpoint using the
-#    actual reference model classes (stand-in for a real run's artifact,
-#    e.g. the published 1M-step checkpoint);
+# 1. fabricates a reference-format step_N.pth checkpoint — torch AdamW
+#    state included — using the actual reference model classes (stand-in
+#    for a real run's artifact, e.g. the published 1M-step checkpoint);
 # 2. packs a corpus into the memory-mapped training store;
-# 3. warm-starts TPU training from the .pth via
-#    model_params.pretrained_model (loud name+shape validation);
-# 4. exports the continued run back to an HF AlbertModel for StyleTTS.
+# 3. scores the torch checkpoint as-is (evaluate CLI reads .pth);
+# 4. converts it into a resumable orbax run dir (full optimizer state,
+#    so the continued run has no Adam re-warm bump) — for a params-only
+#    warm start instead, point model_params.pretrained_model at the .pth;
+# 5. the trainer RESUMES it like one of its own checkpoints;
+# 6. scores the continued run and exports it to HF AlbertModel for
+#    StyleTTS.
 #
 # Needs the reference checkout at /root/reference (for step 1 only).
 set -euo pipefail
@@ -32,11 +36,19 @@ cfg = AlbertConfig(
 )
 m = ref_model.PhonemeOnlyModel(AlbertModel(cfg), num_phonemes=188,
                                hidden_size=256)
+# a couple of real AdamW steps so the checkpoint carries genuine
+# optimizer state (exp_avg / exp_avg_sq / step), like any mid-run save
+opt = torch.optim.AdamW(m.parameters(), lr=1e-4)
+ids = torch.randint(0, 188, (2, 64))
+for _ in range(2):
+    loss = m(ids).float().pow(2).mean()
+    opt.zero_grad(); loss.backward(); opt.step()
 torch.save(
-    {"net": m.state_dict(), "step": 100000, "epoch": 3, "optimizer": {}},
-    "$WORK/reference_step_100000.pth",
+    {"net": m.state_dict(), "step": 6, "epoch": 0,
+     "optimizer": opt.state_dict()},
+    "$WORK/reference_step_6.pth",
 )
-print("saved $WORK/reference_step_100000.pth")
+print("saved $WORK/reference_step_6.pth (with AdamW state)")
 PY
 
 echo "== 2. corpus -> packed store =="
@@ -62,7 +74,6 @@ dataset_params:
   max_seq_length: 512
   ondevice_masking: true
 model_params:
-  pretrained_model: "$WORK/reference_step_100000.pth"
   hidden_size: 256
   num_attention_heads: 4
   intermediate_size: 512
@@ -88,17 +99,21 @@ python -m pl_bert_tpu.preprocess.pipeline --config_path "$WORK/config.yml" \
 
 echo "== 3. score the reference checkpoint as-is (no training needed) =="
 python -m pl_bert_tpu.training.evaluate --config_path "$WORK/config.yml" \
-    --checkpoint "$WORK/reference_step_100000.pth"
+    --checkpoint "$WORK/reference_step_6.pth"
 
-echo "== 4. continue the reference run on TPU (warm-start from .pth) =="
+echo "== 4. convert .pth -> resumable orbax checkpoint (AdamW moments included) =="
+python -m pl_bert_tpu.export.from_torch --pth "$WORK/reference_step_6.pth" \
+    --config_path "$WORK/config.yml" --run_dir "$WORK/ckpt/migrated"
+
+echo "== 5. the trainer resumes the reference run (steps 7..10) =="
 python -m pl_bert_tpu.training.train --config_path "$WORK/config.yml" \
     --run_name migrated
 
-echo "== 5. score the continued run =="
+echo "== 6. score the continued run =="
 python -m pl_bert_tpu.training.evaluate --config_path "$WORK/config.yml" \
     --checkpoint "$WORK/ckpt/migrated"
 
-echo "== 6. export the continued run for StyleTTS =="
+echo "== 7. export the continued run for StyleTTS =="
 python -m pl_bert_tpu.export.cli \
     --checkpoint_path "$WORK/ckpt/migrated/step_10" \
     --config_path "$WORK/config.yml" \

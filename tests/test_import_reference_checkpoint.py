@@ -217,3 +217,206 @@ def test_warm_start_continues_training(tmp_path):
         r["phoneme_loss"] for r in lines if "phoneme_loss" in r
     ]
     assert losses and all(np.isfinite(x) for x in losses)
+
+
+def _masked_batch_stream(n_steps, n=6, L=64, seed=11):
+    """Deterministic masked-batch sequence shared by both stacks."""
+    from pl_bert_tpu.data.collate import collate_fixed
+    from pl_bert_tpu.data.masking import MaskingParams, WholeWordMasker
+
+    rng = np.random.default_rng(seed)
+    alphabet = list("ɑɐɒæbtkmnlsʃθð")
+    corpus = [
+        [
+            "".join(rng.choice(alphabet, size=int(rng.integers(2, 8))))
+            for _ in range(int(rng.integers(6, 14)))
+        ]
+        for _ in range(n)
+    ]
+    masker = WholeWordMasker(MaskingParams(max_seq_length=L), seed=12)
+    return [
+        collate_fixed(
+            [masker(corpus[i], epoch=s, index=i) for i in range(n)], L
+        )
+        for s in range(n_steps)
+    ]
+
+
+def _torch_step(tmodel, topt, criterion, batch):
+    """One reference training step (loss loop, train.py:107-131)."""
+    ids_t = torch.from_numpy(np.asarray(batch.masked_ids)).long()
+    mask_t = torch.from_numpy(np.asarray(batch.attention_mask).astype(np.int64))
+    pred = tmodel(ids_t, attention_mask=mask_t)
+    loss_terms = []
+    for i in range(len(batch.lengths)):
+        idx = np.nonzero(batch.mask_positions[i])[0]
+        if len(idx) == 0:
+            continue
+        ln = int(batch.lengths[i])
+        loss_terms.append(
+            criterion(
+                pred[i][:ln][idx],
+                torch.from_numpy(batch.label_ids[i][:ln][idx]).long(),
+            )
+        )
+    loss = sum(loss_terms) / len(loss_terms)
+    topt.zero_grad()
+    loss.backward()
+    topt.step()
+    return float(loss)
+
+
+def test_full_state_import_trajectory_parity(tmp_path):
+    """import_reference_run: torch trains 3 steps, saves WITH AdamW
+    state; both stacks then continue the SAME 3 batches. The full-state
+    import must track torch's trajectory (moments + bias-correction
+    count carried over), and must track it strictly better than the
+    params-only warm start (fresh moments), proving the moments matter
+    and transferred correctly."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pl_bert_tpu.export.from_torch import import_reference_run
+    from pl_bert_tpu.ops.masked_ce import masked_phoneme_loss
+    from pl_bert_tpu.training.train_step import (
+        batch_to_arrays,
+        make_optimizer,
+    )
+    from pl_bert_tpu.config import TrainingParams
+
+    L, LR = 64, 1e-3
+    batches = _masked_batch_stream(6, L=L)
+
+    tmodel = _reference_torch_model().train()
+    topt = torch.optim.AdamW(tmodel.parameters(), lr=LR)
+    criterion = torch.nn.CrossEntropyLoss()
+    for b in batches[:3]:
+        _torch_step(tmodel, topt, criterion, b)
+    path = str(tmp_path / "step_3.pth")
+    torch.save(
+        {"net": tmodel.state_dict(), "step": 3, "epoch": 0,
+         "optimizer": topt.state_dict()},
+        path,
+    )
+
+    model = build_model(ModelParams(**MP), "fp32")
+    template = init_params(model, L, seed=0)
+    tx = make_optimizer(
+        TrainingParams(learning_rate=LR, mixed_precision="fp32")
+    )
+    params, opt_state, step, epoch = import_reference_run(path, template, tx)
+    assert (step, epoch) == (3, 0)
+    assert int(opt_state[0].count) == 3  # bias-correction position carried
+
+    params_fresh, _, _ = import_reference_checkpoint(path, template)
+    opt_fresh = tx.init(params_fresh)
+
+    @jax.jit
+    def jstep(params, opt_state, arrays):
+        def loss_fn(p):
+            logits = model.apply(
+                {"params": p}, arrays["masked_ids"],
+                (jnp.arange(L)[None, :] < arrays["lengths"][:, None]).astype(
+                    jnp.int32
+                ),
+                deterministic=True,
+            )
+            return masked_phoneme_loss(
+                logits, arrays["label_ids"], arrays["mask_positions"],
+                arrays["lengths"],
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t_losses, full_losses, fresh_losses = [], [], []
+    for b in batches[3:]:
+        t_losses.append(_torch_step(tmodel, topt, criterion, b))
+        arrays = {k: jnp.asarray(v) for k, v in batch_to_arrays(b).items()}
+        params, opt_state, l1 = jstep(params, opt_state, arrays)
+        full_losses.append(float(l1))
+        params_fresh, opt_fresh, l2 = jstep(params_fresh, opt_fresh, arrays)
+        fresh_losses.append(float(l2))
+
+    np.testing.assert_allclose(full_losses, t_losses, rtol=5e-3, atol=5e-4)
+    # fresh-moment continuation visibly diverges from the true run
+    # (losses after the first continued step differ), while the
+    # full-state one stays glued to torch
+    full_err = max(abs(a - b) for a, b in zip(full_losses[1:], t_losses[1:]))
+    fresh_err = max(abs(a - b) for a, b in zip(fresh_losses[1:], t_losses[1:]))
+    assert fresh_err > 10 * full_err, (fresh_err, full_err)
+
+
+def test_convert_cli_produces_resumable_run(tmp_path):
+    """python -m pl_bert_tpu.export.from_torch: the converted .pth
+    becomes a run directory the trainer RESUMES like one of its own
+    checkpoints (step position, config-copy marker, optimizer state)."""
+    import dataclasses
+    import json
+
+    from pl_bert_tpu.export import from_torch
+    from pl_bert_tpu.training.train import make_synthetic_corpus, train
+
+    batches = _masked_batch_stream(2, L=64)
+    tmodel = _reference_torch_model().train()
+    topt = torch.optim.AdamW(tmodel.parameters(), lr=1e-3)
+    criterion = torch.nn.CrossEntropyLoss()
+    for b in batches:
+        _torch_step(tmodel, topt, criterion, b)
+    pth = str(tmp_path / "step_2.pth")
+    torch.save(
+        {"net": tmodel.state_dict(), "step": 2, "epoch": 1,
+         "optimizer": topt.state_dict()},
+        pth,
+    )
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        training_params=dataclasses.replace(
+            cfg.training_params, batch_size=8, data_axis=-1, model_axis=1,
+            num_steps=4, output_dir=str(tmp_path / "ckpt"),
+            save_interval=1000, log_interval=1, mixed_precision="fp32",
+            training_dataset="synthetic:64",
+        ),
+        dataset_params=dataclasses.replace(
+            cfg.dataset_params, max_seq_length=64, ondevice_masking=True,
+        ),
+        model_params=dataclasses.replace(cfg.model_params, **MP),
+    )
+    cfg_path = str(tmp_path / "cfg.yml")
+    cfg.save(cfg_path)
+
+    run_dir = str(tmp_path / "ckpt" / "migrated")
+    from_torch.main([
+        "--pth", pth, "--config_path", cfg_path, "--run_dir", run_dir,
+    ])
+    assert os.path.isdir(os.path.join(run_dir, "step_2"))
+    # the resume marker: a config copy named after the config file
+    assert os.path.exists(os.path.join(run_dir, "cfg.yml"))
+
+    final = train(
+        {"config_path": cfg_path, "run_name": "migrated"},
+        dataset=make_synthetic_corpus(64, seed=0),
+    )
+    assert final == 4
+    lines = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    trained_steps = [r["step"] for r in lines if "phoneme_loss" in r]
+    # resumed AT step 2: only steps 3 and 4 were trained
+    assert trained_steps == [3, 4]
+
+
+def test_full_state_import_refuses_empty_optimizer(tmp_path):
+    from pl_bert_tpu.export.from_torch import import_reference_run
+    from pl_bert_tpu.training.train_step import make_optimizer
+    from pl_bert_tpu.config import TrainingParams
+
+    tm = _reference_torch_model()
+    path = str(tmp_path / "step_1.pth")
+    _save_reference_checkpoint(tm, path)  # saves optimizer: {}
+    template = init_params(build_model(ModelParams(**MP), "fp32"), 64)
+    tx = make_optimizer(TrainingParams(mixed_precision="fp32"))
+    with pytest.raises(ValueError, match="no optimizer state"):
+        import_reference_run(path, template, tx)
