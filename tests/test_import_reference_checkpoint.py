@@ -407,6 +407,23 @@ def test_convert_cli_produces_resumable_run(tmp_path):
     # resumed AT step 2: only steps 3 and 4 were trained
     assert trained_steps == [3, 4]
 
+    # and back out: to_torch CLI exports the continued run as a
+    # reference step_N.pth a torch AdamW can load (full circle)
+    from pl_bert_tpu.export import to_torch
+
+    out_pth = str(tmp_path / "back_step_4.pth")
+    to_torch.main([
+        "--checkpoint", run_dir, "--config_path", cfg_path,
+        "--output", out_pth,
+    ])
+    ckpt = torch.load(out_pth, map_location="cpu", weights_only=True)
+    assert ckpt["step"] == 4
+    rmodel = _reference_torch_model(seed=3)
+    missing, unexpected = rmodel.load_state_dict(ckpt["net"], strict=False)
+    assert not unexpected and all("position_ids" in m for m in missing)
+    ropt = torch.optim.AdamW(rmodel.parameters(), lr=1e-3)
+    ropt.load_state_dict(ckpt["optimizer"])  # strict, reference train.py:101
+
 
 def test_full_state_import_refuses_empty_optimizer(tmp_path):
     from pl_bert_tpu.export.from_torch import import_reference_run
@@ -420,3 +437,100 @@ def test_full_state_import_refuses_empty_optimizer(tmp_path):
     tx = make_optimizer(TrainingParams(mixed_precision="fp32"))
     with pytest.raises(ValueError, match="no optimizer state"):
         import_reference_run(path, template, tx)
+
+
+def test_bidirectional_roundtrip_matches_uninterrupted_torch(tmp_path):
+    """Full circle: torch trains steps 1-2 → TPU imports (moments
+    included) and trains steps 3-4 → exports a reference step_4.pth →
+    torch reloads it (its own load semantics, train.py:81-105) and
+    trains steps 5-6. Every leg must track an UNINTERRUPTED 6-step
+    torch run on the same batches — the bidirectional migration gate."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pl_bert_tpu.config import TrainingParams
+    from pl_bert_tpu.export.from_torch import import_reference_run
+    from pl_bert_tpu.export.to_torch import export_reference_checkpoint
+    from pl_bert_tpu.ops.masked_ce import masked_phoneme_loss
+    from pl_bert_tpu.training.train_step import (
+        batch_to_arrays,
+        make_optimizer,
+    )
+
+    L, LR = 64, 1e-3
+    batches = _masked_batch_stream(6, L=L)
+    criterion = torch.nn.CrossEntropyLoss()
+
+    # uninterrupted control run
+    control = _reference_torch_model(seed=0).train()
+    copt = torch.optim.AdamW(control.parameters(), lr=LR)
+    control_losses = [
+        _torch_step(control, copt, criterion, b) for b in batches
+    ]
+
+    # leg 1: torch, steps 1-2 (identical init: same seed)
+    tmodel = _reference_torch_model(seed=0).train()
+    topt = torch.optim.AdamW(tmodel.parameters(), lr=LR)
+    leg1 = [_torch_step(tmodel, topt, criterion, b) for b in batches[:2]]
+    np.testing.assert_allclose(leg1, control_losses[:2], rtol=0, atol=0)
+    pth1 = str(tmp_path / "step_2.pth")
+    torch.save(
+        {"net": tmodel.state_dict(), "step": 2, "epoch": 0,
+         "optimizer": topt.state_dict()},
+        pth1,
+    )
+
+    # leg 2: TPU, steps 3-4
+    tp = TrainingParams(learning_rate=LR, mixed_precision="fp32")
+    model = build_model(ModelParams(**MP), "fp32")
+    template = init_params(model, L, seed=0)
+    tx = make_optimizer(tp)
+    params, opt_state, step, _ = import_reference_run(pth1, template, tx)
+    assert step == 2
+
+    @jax.jit
+    def jstep(params, opt_state, arrays):
+        def loss_fn(p):
+            logits = model.apply(
+                {"params": p}, arrays["masked_ids"],
+                (jnp.arange(L)[None, :] < arrays["lengths"][:, None]).astype(
+                    jnp.int32
+                ),
+                deterministic=True,
+            )
+            return masked_phoneme_loss(
+                logits, arrays["label_ids"], arrays["mask_positions"],
+                arrays["lengths"],
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    leg2 = []
+    for b in batches[2:4]:
+        arrays = {k: jnp.asarray(v) for k, v in batch_to_arrays(b).items()}
+        params, opt_state, loss = jstep(params, opt_state, arrays)
+        leg2.append(float(loss))
+    np.testing.assert_allclose(leg2, control_losses[2:4], rtol=5e-3, atol=5e-4)
+
+    pth2 = str(tmp_path / "step_4.pth")
+    export_reference_checkpoint(
+        params, opt_state, tp, pth2, step=4, epoch=0
+    )
+
+    # leg 3: back on torch, steps 5-6 — the reference's own load
+    # semantics (train.py:81-105: strict=False params, strict optimizer)
+    ckpt = torch.load(pth2, map_location="cpu", weights_only=True)
+    assert ckpt["step"] == 4
+    rmodel = _reference_torch_model(seed=1).train()  # different init: must be overwritten
+    missing, unexpected = rmodel.load_state_dict(ckpt["net"], strict=False)
+    assert not unexpected
+    assert all("position_ids" in m for m in missing)
+    ropt = torch.optim.AdamW(rmodel.parameters(), lr=LR)
+    ropt.load_state_dict(ckpt["optimizer"])
+    leg3 = [
+        _torch_step(rmodel, ropt, criterion, b) for b in batches[4:6]
+    ]
+    np.testing.assert_allclose(leg3, control_losses[4:6], rtol=5e-3, atol=1e-3)
