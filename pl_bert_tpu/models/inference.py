@@ -30,6 +30,7 @@ class PhonemeEncoder:
         mixed_precision: str = "bf16",
         batch_size: int | None = None,
         quantize: str | None = None,
+        seq_buckets: tuple[int, ...] | None = None,
     ) -> None:
         """``batch_size``: pad every call's batch dimension to this fixed
         size so XLA compiles the forward ONCE — without it each distinct
@@ -38,7 +39,16 @@ class PhonemeEncoder:
 
         ``quantize="int8"``: run the dense projections on the int8 MXU
         path (2x the bf16 matmul rate on v5e for ~1% numeric error —
-        ops/quant.py). Inference-only; checkpoints stay fp32 on disk."""
+        ops/quant.py). Inference-only; checkpoints stay fp32 on disk.
+
+        ``seq_buckets``: optional ascending sequence-length buckets
+        (e.g. ``(64, 128, 256)``). Each call pads to the smallest
+        bucket covering its longest input instead of the full
+        ``max_seq_length``, cutting short-utterance serving latency
+        roughly linearly while keeping the compile count bounded at
+        ``len(buckets) + 1`` shapes. Valid-prefix hidden states are
+        identical either way (padding is masked out of attention), so
+        this is latency shaping, not a numerics change."""
         import dataclasses
 
         dtype = jnp.bfloat16 if mixed_precision == "bf16" else jnp.float32
@@ -49,6 +59,19 @@ class PhonemeEncoder:
         self.params = params
         self.max_seq_length = max_seq_length
         self.batch_size = batch_size
+        if seq_buckets is not None:
+            buckets = sorted(int(b) for b in seq_buckets)
+            if not buckets or buckets != sorted(set(buckets)):
+                raise ValueError(f"seq_buckets must be unique: {seq_buckets}")
+            if buckets[0] < 1 or buckets[-1] > max_seq_length:
+                raise ValueError(
+                    f"seq_buckets must lie in [1, {max_seq_length}]: "
+                    f"{seq_buckets}"
+                )
+            if buckets[-1] != max_seq_length:
+                buckets.append(max_seq_length)
+            seq_buckets = tuple(buckets)
+        self.seq_buckets = seq_buckets
         self._forward = jax.jit(
             functools.partial(self.model.apply, deterministic=True)
         )
@@ -98,7 +121,8 @@ class PhonemeEncoder:
         self, phoneme_strings: list[str]
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host side: phoneme strings → (ids [B, L], mask [B, L],
-        lengths [B]) int32 arrays, cropped/padded to max_seq_length.
+        lengths [B]) int32 arrays, cropped/padded to max_seq_length (or
+        the smallest covering bucket when ``seq_buckets`` is set).
         With a fixed ``batch_size``, B is padded up to it (extra rows are
         empty; lengths stays len(phoneme_strings) long)."""
         n = len(phoneme_strings)
@@ -107,15 +131,17 @@ class PhonemeEncoder:
             raise ValueError(
                 f"{n} strings exceed the encoder's fixed batch_size {b}"
             )
-        ids = np.zeros((b, self.max_seq_length), np.int32)
+        rows = [encode(t)[: self.max_seq_length] for t in phoneme_strings]
+        L = self.max_seq_length
+        if self.seq_buckets is not None:
+            needed = max((len(r) for r in rows), default=1)
+            L = next(bk for bk in self.seq_buckets if bk >= needed)
+        ids = np.zeros((b, L), np.int32)
         lengths = np.zeros(b, np.int32)
-        for i, text in enumerate(phoneme_strings):
-            row = encode(text)[: self.max_seq_length]
+        for i, row in enumerate(rows):
             ids[i, : len(row)] = row
             lengths[i] = len(row)
-        mask = (
-            np.arange(self.max_seq_length)[None, :] < lengths[:, None]
-        ).astype(np.int32)
+        mask = (np.arange(L)[None, :] < lengths[:, None]).astype(np.int32)
         return ids, mask, lengths[:n]
 
     def forward(self, ids, mask):
@@ -128,7 +154,9 @@ class PhonemeEncoder:
 
     def __call__(self, phoneme_strings: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """→ (hidden_states [B, L, H] fp32, lengths [B]); B is the number
-        of input strings regardless of any fixed batch padding."""
+        of input strings regardless of any fixed batch padding. L is
+        max_seq_length, or the call's chosen bucket under seq_buckets —
+        row i's valid prefix is hidden[i, :lengths[i]] either way."""
         ids, mask, lengths = self.encode_batch(phoneme_strings)
         hidden = self.forward(ids, mask)
         return (
@@ -172,11 +200,20 @@ def main(argv=None) -> None:
                         default="float32", help="stored hidden dtype")
     parser.add_argument("--int8", action="store_true",
                         help="dynamic int8 dense projections (ops/quant.py)")
+    parser.add_argument("--buckets", default="",
+                        help="comma-separated sequence-length buckets "
+                        "(e.g. 64,128,256): each chunk runs at the "
+                        "smallest covering length — lower latency on "
+                        "short utterances, same hidden states")
     args = parser.parse_args(argv)
 
     kwargs: dict = {
         "batch_size": args.batch_size,
         "quantize": "int8" if args.int8 else None,
+        "seq_buckets": (
+            tuple(int(x) for x in args.buckets.split(",") if x)
+            or None
+        ),
     }
     if args.checkpoint:
         if not args.config_path:
@@ -201,6 +238,11 @@ def main(argv=None) -> None:
     chunks, lens = [], []
     for lo in range(0, len(lines), args.batch_size):
         hidden, lengths = enc(lines[lo:lo + args.batch_size])
+        if hidden.shape[1] < enc.max_seq_length:  # bucketed chunk:
+            hidden = np.pad(  # keep the [N, max_L, H] output contract
+                hidden,
+                ((0, 0), (0, enc.max_seq_length - hidden.shape[1]), (0, 0)),
+            )
         chunks.append(hidden.astype(out_dtype))
         lens.append(lengths)
     np.savez(

@@ -136,3 +136,74 @@ def test_encode_cli_rejects_empty_input(tmp_path):
             "--checkpoint", path, "--config_path", cfg_path,
             "--input", str(inp), "--output", str(tmp_path / "o.npz"),
         ])
+
+
+def test_seq_buckets_parity_and_shapes(tmp_path):
+    """seq_buckets is latency shaping only: the chosen bucket covers the
+    call's longest input and the valid-prefix hidden states match the
+    full-length encoder's."""
+    path, config = _make_checkpoint(tmp_path)
+    full = PhonemeEncoder.from_checkpoint(path, config, mixed_precision="fp32")
+    bucketed = PhonemeEncoder.from_checkpoint(
+        path, config, mixed_precision="fp32", seq_buckets=(16, 32)
+    )
+    # max_seq_length (64) is appended as the final bucket automatically
+    assert bucketed.seq_buckets == (16, 32, 64)
+
+    short = ["qalam", "ˈmaʕna"]          # longest 6 -> bucket 16
+    medium = ["ˈmaʕna θaːbit qalam jadiːd"]  # 26 chars -> bucket 32
+    long = ["x" * 50]                     # 50 -> final bucket 64
+
+    for strings, want_L in ((short, 16), (medium, 32), (long, 64)):
+        hb, lb = bucketed(strings)
+        hf, lf = full(strings)
+        assert hb.shape[1] == want_L
+        assert hf.shape[1] == 64
+        np.testing.assert_array_equal(lb, lf)
+        for i, ln in enumerate(lb):
+            np.testing.assert_allclose(
+                hb[i, :ln], hf[i, :ln], atol=1e-5,
+                err_msg=f"bucket {want_L} row {i}",
+            )
+
+
+def test_seq_buckets_validation(tmp_path):
+    path, config = _make_checkpoint(tmp_path)
+    with pytest.raises(ValueError, match="seq_buckets"):
+        PhonemeEncoder.from_checkpoint(
+            path, config, mixed_precision="fp32", seq_buckets=(16, 128)
+        )  # exceeds max_seq_length 64
+    with pytest.raises(ValueError, match="unique"):
+        PhonemeEncoder.from_checkpoint(
+            path, config, mixed_precision="fp32", seq_buckets=(16, 16)
+        )
+
+
+def test_serving_cli_buckets_match_unbucketed(tmp_path, capsys):
+    """--buckets keeps the CLI's [N, max_L, H] npz contract and the
+    stored values."""
+    from pl_bert_tpu.models import inference
+
+    path, config = _make_checkpoint(tmp_path)
+    cfg_path = str(tmp_path / "cfg.yml")
+    config.save(cfg_path)
+    inp = tmp_path / "in.txt"
+    inp.write_text("qalam\nˈmaʕna θaːbit\n", encoding="utf-8")
+
+    def run(out_name, *extra):
+        out = str(tmp_path / out_name)
+        inference.main([
+            "--checkpoint", path, "--config_path", cfg_path,
+            "--input", str(inp), "--output", out,
+            "--batch_size", "4", *extra,
+        ])
+        return np.load(out)
+
+    plain = run("plain.npz")
+    bucketed = run("bucketed.npz", "--buckets", "16,32")
+    assert bucketed["hidden"].shape == plain["hidden"].shape
+    np.testing.assert_array_equal(bucketed["lengths"], plain["lengths"])
+    for i, ln in enumerate(plain["lengths"]):
+        np.testing.assert_allclose(
+            bucketed["hidden"][i, :ln], plain["hidden"][i, :ln], atol=1e-5
+        )
