@@ -759,7 +759,7 @@ def _run_with_retry(argv: list[str]) -> None:
     max_attempts = int(os.environ.get("PLBERT_BENCH_MAX_ATTEMPTS", "4"))
     try:
         main(argv)
-    except SystemExit:
+    except (SystemExit, KeyboardInterrupt):
         raise
     except BaseException:
         import traceback
