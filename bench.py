@@ -768,6 +768,10 @@ def _run_with_retry(argv: list[str]) -> None:
         device_mode = not (set(argv) & host_only)
         if not device_mode or attempt >= max_attempts:
             raise
+        # progressive modes (--scale, --accum, --gate) may already have
+        # printed partial JSON rows; mark the abort on stdout so a
+        # line-parser can discard everything before this marker
+        print(json.dumps({"bench_attempt_aborted": attempt}), flush=True)
         delay = 90 * attempt
         print(
             f"bench attempt {attempt}/{max_attempts} failed; "

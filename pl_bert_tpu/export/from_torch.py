@@ -158,14 +158,19 @@ def _moment_state_dicts(opt_sd: dict, net_sd: dict):
     groups = opt_sd.get("param_groups") or []
     n_indexed = sum(len(g["params"]) for g in groups)
     if n_indexed != len(names):
-        # some transformers versions persist the position_ids buffer in
-        # the model state dict; buffers are never optimizer params
-        names = [n for n in names if "position_ids" not in n]
+        # some transformers versions persist Albert embedding BUFFERS in
+        # the model state dict (position_ids; token_type_ids in several
+        # 4.x releases); buffers are never optimizer params
+        names = [
+            n for n in names
+            if not any(b in n for b in ("position_ids", "token_type_ids"))
+        ]
     if n_indexed != len(names):
         raise ValueError(
             f"optimizer indexes {n_indexed} params but the model state "
-            f"dict has {len(names)} — cannot align torch AdamW state by "
-            "position (was the checkpoint saved with extra param groups?)"
+            f"dict has {len(names)} parameter-like keys — cannot align "
+            "torch AdamW state by position (non-Albert buffers in the "
+            "state dict, or extra optimizer param groups?)"
         )
     exp_avg: dict[str, Any] = {}
     exp_avg_sq: dict[str, Any] = {}
@@ -317,13 +322,16 @@ def main(argv=None) -> None:
         )
 
     os.makedirs(ns.run_dir, exist_ok=True)
-    path = save_checkpoint(ns.run_dir, step, params, opt_state, epoch=epoch)
     # the config copy is the resume marker, named after the config file
-    # (train.py::setup_config_and_directories; reference train.py:184-208)
+    # (train.py::setup_config_and_directories; reference train.py:184-208).
+    # Write it BEFORE the checkpoint: the reverse order leaves a window
+    # where an interrupted conversion produces a marker-less run dir
+    # whose step_N the trainer's stale-run cleanup would silently delete.
     shutil.copyfile(
         ns.config_path,
         os.path.join(ns.run_dir, os.path.basename(ns.config_path)),
     )
+    path = save_checkpoint(ns.run_dir, step, params, opt_state, epoch=epoch)
     print(json.dumps({
         "checkpoint": path, "step": step, "epoch": epoch,
         "optimizer_state": "fresh" if ns.params_only else "imported",

@@ -61,7 +61,10 @@ class PhonemeEncoder:
         self.batch_size = batch_size
         if seq_buckets is not None:
             buckets = sorted(int(b) for b in seq_buckets)
-            if not buckets or buckets != sorted(set(buckets)):
+            if not buckets:
+                raise ValueError("seq_buckets must not be empty (pass None "
+                                 "for single full-length compilation)")
+            if buckets != sorted(set(buckets)):
                 raise ValueError(f"seq_buckets must be unique: {seq_buckets}")
             if buckets[0] < 1 or buckets[-1] > max_seq_length:
                 raise ValueError(

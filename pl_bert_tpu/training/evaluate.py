@@ -69,7 +69,9 @@ def evaluate(args: dict, dataset=None) -> dict:
     ckpt = _resolve_checkpoint(args["checkpoint"])
 
     with tempfile.TemporaryDirectory() as tmp:
-        trainer = Trainer(config, tmp, False, dataset=dataset)
+        # eval_only: no AdamW state allocation, no train step — scoring
+        # a checkpoint must not cost 2x-params of dead HBM
+        trainer = Trainer(config, tmp, False, dataset=dataset, eval_only=True)
         try:
             params = load_params_only(ckpt, trainer.state.params)
             trainer.state = trainer.state._replace(params=params)
@@ -83,7 +85,7 @@ def evaluate(args: dict, dataset=None) -> dict:
         "checkpoint": ckpt,
         "val_phoneme_loss": round(loss, 6),
         "val_masked_accuracy": round(acc, 6),
-        "val_batches": len(list(trainer._val_batches())),
+        "val_batches": trainer._last_val_batches,
     }
     print(json.dumps(out), flush=True)
     return out

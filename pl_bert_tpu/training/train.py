@@ -197,10 +197,24 @@ def _adopt_packed_store(store, tp, dp):
 class Trainer:
     """Wires mesh, model, optimizer, data and checkpoints together."""
 
-    def __init__(self, config: Config, log_dir: str, resuming: bool, dataset=None):
+    def __init__(
+        self,
+        config: Config,
+        log_dir: str,
+        resuming: bool,
+        dataset=None,
+        eval_only: bool = False,
+    ):
+        """``eval_only``: build the model/data/eval machinery but skip
+        everything a read-only scorer never touches — the AdamW state
+        (2× params of fp32 HBM at the flagship multi-task shape) and the
+        jitted train step. Used by training.evaluate."""
+        if eval_only and resuming:
+            raise ValueError("eval_only cannot resume a run (no opt state)")
         self.config = config
         self.log_dir = log_dir
         self.resuming = resuming
+        self.eval_only = eval_only
         tp, mp, dp = (
             config.training_params,
             config.model_params,
@@ -368,13 +382,17 @@ class Trainer:
         # ZeRO-1 (training_params.zero1): the moments shard over the
         # data axis on top of the tensor-parallel specs; otherwise they
         # mirror the params' shardings exactly
-        opt_sharding_fn = zero1_shardings if tp.zero1 else param_shardings
-        self.opt_shardings = opt_sharding_fn(
-            self.mesh, jax.eval_shape(self.tx.init, params)
-        )
-        opt_state = jax.jit(
-            self.tx.init, out_shardings=self.opt_shardings
-        )(params)
+        if eval_only:
+            self.opt_shardings = None
+            opt_state = None
+        else:
+            opt_sharding_fn = zero1_shardings if tp.zero1 else param_shardings
+            self.opt_shardings = opt_sharding_fn(
+                self.mesh, jax.eval_shape(self.tx.init, params)
+            )
+            opt_state = jax.jit(
+                self.tx.init, out_shardings=self.opt_shardings
+            )(params)
 
         self.state = TrainState(
             params, opt_state, jax.device_put(np.int32(0))
@@ -402,7 +420,7 @@ class Trainer:
             self.start_batch = meta["batch_in_epoch"]
             print(f"Checkpoint {path} loaded.")
 
-        self.train_step = make_train_step(
+        self.train_step = None if eval_only else make_train_step(
             self.model, self.tx, self.use_token_ids, donate=tp.donate_state,
             masking_params=self.masking_params,
             grad_accum=tp.grad_accum_steps,
@@ -484,6 +502,9 @@ class Trainer:
         return {k: pad(v) for k, v in arrays.items()}
 
     def validate(self) -> tuple[float, float] | None:
+        """→ (mean val phoneme loss, mean masked accuracy) or None on an
+        empty split; also records the batch count in _last_val_batches
+        (so callers don't re-run the host masking pipeline to count)."""
         losses, accs = [], []
         bs = self.config.training_params.batch_size
         tp = self.config.training_params
@@ -498,6 +519,7 @@ class Trainer:
             )
             losses.append(float(loss))
             accs.append(float(acc))
+        self._last_val_batches = len(losses)
         if not losses:
             return None
         return float(np.mean(losses)), float(np.mean(accs))
