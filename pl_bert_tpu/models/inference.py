@@ -238,9 +238,17 @@ def main(argv=None) -> None:
         parser.error("no non-empty input lines")
 
     out_dtype = np.float16 if args.dtype == "float16" else np.float32
+    # with buckets on, group similar lengths into the same chunk (and
+    # restore input order after): one long outlier otherwise drags every
+    # short utterance in its chunk up to the big bucket
+    order = (
+        sorted(range(len(lines)), key=lambda i: len(lines[i]))
+        if enc.seq_buckets is not None else range(len(lines))
+    )
+    ordered = [lines[i] for i in order]
     chunks, lens = [], []
-    for lo in range(0, len(lines), args.batch_size):
-        hidden, lengths = enc(lines[lo:lo + args.batch_size])
+    for lo in range(0, len(ordered), args.batch_size):
+        hidden, lengths = enc(ordered[lo:lo + args.batch_size])
         if hidden.shape[1] < enc.max_seq_length:  # bucketed chunk:
             hidden = np.pad(  # keep the [N, max_L, H] output contract
                 hidden,
@@ -248,10 +256,13 @@ def main(argv=None) -> None:
             )
         chunks.append(hidden.astype(out_dtype))
         lens.append(lengths)
+    hidden_all = np.concatenate(chunks)
+    lens_all = np.concatenate(lens).astype(np.int32)
+    unsort = np.argsort(np.asarray(list(order)))
     np.savez(
         args.output,
-        hidden=np.concatenate(chunks),
-        lengths=np.concatenate(lens).astype(np.int32),
+        hidden=hidden_all[unsort],
+        lengths=lens_all[unsort],
     )
     print(
         f"encoded {len(lines)} strings -> {args.output} "

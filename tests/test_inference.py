@@ -188,7 +188,14 @@ def test_serving_cli_buckets_match_unbucketed(tmp_path, capsys):
     cfg_path = str(tmp_path / "cfg.yml")
     config.save(cfg_path)
     inp = tmp_path / "in.txt"
-    inp.write_text("qalam\nˈmaʕna θaːbit\n", encoding="utf-8")
+    # mixed lengths ACROSS chunk boundaries (batch 4, 6 lines): the
+    # bucketed path sorts by length internally and must restore input
+    # order in the output npz
+    inp.write_text(
+        "qalam\n" + "x" * 50 + "\nˈmaʕna θaːbit\n"
+        + "y" * 40 + "\nab\nˈmaʕna\n",
+        encoding="utf-8",
+    )
 
     def run(out_name, *extra):
         out = str(tmp_path / out_name)
