@@ -534,3 +534,58 @@ def test_bidirectional_roundtrip_matches_uninterrupted_torch(tmp_path):
         _torch_step(rmodel, ropt, criterion, b) for b in batches[4:6]
     ]
     np.testing.assert_allclose(leg3, control_losses[4:6], rtol=5e-3, atol=1e-3)
+
+
+def test_multitask_full_state_roundtrip_bitwise(tmp_path):
+    """Multi-task head ordering in the moment alignment: torch
+    MultiTaskModel AdamW state → TPU → back must reproduce every moment
+    tensor (phoneme AND token heads) and the net weights bitwise-close —
+    a misalignment of the two heads' indices would scramble them."""
+    from pl_bert_tpu.config import TrainingParams
+    from pl_bert_tpu.export.from_torch import import_reference_run
+    from pl_bert_tpu.export.to_torch import export_reference_checkpoint
+    from pl_bert_tpu.training.train_step import make_optimizer
+
+    tm = _reference_torch_model(num_tokens=250).train()
+    topt = torch.optim.AdamW(tm.parameters(), lr=1e-3)
+    ids = torch.randint(0, 188, (2, 32))
+    for _ in range(2):  # populate moments with distinct per-head values
+        ph, tok = tm(ids)
+        loss = ph.float().pow(2).mean() + tok.float().pow(2).mean()
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+    pth = str(tmp_path / "step_2.pth")
+    torch.save(
+        {"net": tm.state_dict(), "step": 2, "epoch": 0,
+         "optimizer": topt.state_dict()},
+        pth,
+    )
+
+    tp = TrainingParams(learning_rate=1e-3, mixed_precision="fp32")
+    template = init_params(
+        build_model(ModelParams(**MP, num_token_vocab=250), "fp32"), 64
+    )
+    tx = make_optimizer(tp)
+    params, opt_state, step, _ = import_reference_run(pth, template, tx)
+    out = str(tmp_path / "back.pth")
+    export_reference_checkpoint(params, opt_state, tp, out, step=step)
+
+    orig = torch.load(pth, map_location="cpu", weights_only=True)
+    back = torch.load(out, map_location="cpu", weights_only=True)
+    # same parameter indexing: identical state-entry index sets
+    assert set(back["optimizer"]["state"]) == set(orig["optimizer"]["state"])
+    names = [k for k in orig["net"]]
+    for i, entry in orig["optimizer"]["state"].items():
+        got = back["optimizer"]["state"][i]
+        assert float(got["step"]) == float(entry["step"])
+        for key in ("exp_avg", "exp_avg_sq"):
+            np.testing.assert_allclose(
+                got[key].numpy(), entry[key].numpy(), atol=1e-7,
+                err_msg=f"moment {key} of param {i} ({names[i]})",
+            )
+    for name in orig["net"]:
+        np.testing.assert_allclose(
+            back["net"][name].numpy(), orig["net"][name].numpy(),
+            atol=1e-7, err_msg=name,
+        )
