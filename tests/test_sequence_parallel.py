@@ -300,3 +300,48 @@ def test_sp_attention_block_gradients_match():
             np.asarray(g_sp[2][n]), np.asarray(g_ref[2][n]),
             atol=5e-4, rtol=2e-3, err_msg=f"db{n}",
         )
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+def test_sp_training_with_sequence_packing_matches_dp(tmp_path):
+    """Sequence packing × tensor parallelism × sequence parallelism:
+    packed batches (segment_ids/position_ids planes, block-diagonal
+    attention from segments) must follow the SAME loss trajectory on a
+    4×2 mesh — with and without SP — as on pure DP. Pins that the
+    packed-batch planes thread through the TP/SP shardings unchanged."""
+    import dataclasses
+
+    from pl_bert_tpu.training.train import Trainer
+
+    losses = {}
+    for model_axis, sp in ((1, False), (2, False), (2, True)):
+        cfg = _train_config(tmp_path, model_axis, sp)
+        cfg = dataclasses.replace(
+            cfg,
+            dataset_params=dataclasses.replace(
+                cfg.dataset_params,
+                ondevice_masking=True,
+                sequence_packing=True,
+            ),
+        )
+        trainer = Trainer(
+            cfg, str(tmp_path / f"packrun_m{model_axis}_sp{sp}"), False
+        )
+        assert trainer.packed.packing_efficiency > 0
+        per_step = []
+        for i, batch in enumerate(trainer._train_batches(epoch=1)):
+            trainer.state, m = trainer.train_step(
+                trainer.state, trainer._put(batch), trainer.base_rng
+            )
+            per_step.append(float(m["loss"]))
+            if i == 1:
+                break
+        losses[(model_axis, sp)] = per_step
+    np.testing.assert_allclose(
+        losses[(2, False)], losses[(1, False)], rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        losses[(2, True)], losses[(1, False)], rtol=2e-5
+    )
