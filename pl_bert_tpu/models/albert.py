@@ -150,7 +150,7 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
-def _resolve_impl(cfg: AlbertConfig, seq_len: int) -> str:
+def _resolve_impl(cfg: AlbertConfig, seq_len: int, batch: int = 0) -> str:
     """Pick the attention implementation for this call's shapes.
 
     "auto" prefers the fully-fused block kernel (QKV + attention +
@@ -159,25 +159,36 @@ def _resolve_impl(cfg: AlbertConfig, seq_len: int) -> str:
     fallback to XLA off-TPU so CPU tests exercise model semantics).
 
     Under tensor parallelism the kernels run per model shard
-    (parallel/tp.py), so the support checks use the LOCAL head count;
-    a head count that doesn't divide the model axis falls back to XLA
-    einsum attention, which GSPMD partitions itself."""
+    (parallel/tp.py), so the support checks use the LOCAL head count
+    (and the kernel's VMEM budget the GLOBAL width — E·P weights stay
+    resident); a head count that doesn't divide the model axis falls
+    back to XLA einsum attention, which GSPMD partitions itself. A
+    batch the shard_map wrappers cannot slice over the data axis
+    (``batch % data_size != 0``, e.g. a small serving batch on a
+    multi-device mesh) also falls back — GSPMD handles ragged batch
+    partitions, shard_map cannot."""
     from pl_bert_tpu.ops.attention import fused_block_supported, pallas_supported
 
     impl = cfg.attention_impl
     if impl == "xla":
         return impl
+    if cfg.use_shard_map and batch:
+        from pl_bert_tpu.parallel.mesh import DATA_AXIS
+
+        if batch % int(cfg.mesh.shape.get(DATA_AXIS, 1)):
+            return "xla"
     m = cfg.tp_size
     if cfg.num_attention_heads % m:
         return "xla"
     local_heads = cfg.num_attention_heads // m
+    E = cfg.num_attention_heads * cfg.head_dim
     if impl == "pallas_block":
         return impl if fused_block_supported(
-            seq_len, local_heads, cfg.head_dim
+            seq_len, local_heads, cfg.head_dim, global_width=E
         ) else "xla"
     if impl == "pallas":
         return impl if pallas_supported(seq_len, cfg.head_dim) else "xla"
-    if fused_block_supported(seq_len, local_heads, cfg.head_dim):
+    if fused_block_supported(seq_len, local_heads, cfg.head_dim, global_width=E):
         return "pallas_block"
     if pallas_supported(seq_len, cfg.head_dim):
         return "pallas"
@@ -337,7 +348,7 @@ class AlbertSelfAttention(nn.Module):
         cfg = self.cfg
         B, L, H = hidden.shape
         nh, hd = cfg.num_attention_heads, cfg.head_dim
-        impl = _resolve_impl(cfg, L)
+        impl = _resolve_impl(cfg, L, B)
 
         if impl == "pallas_block":
             # fully-fused path: QKV + attention + output projection run
@@ -455,7 +466,7 @@ class AlbertLayer(nn.Module):
         from pl_bert_tpu.ops.fused_ln import fused_supported
 
         B, L, H = ffn.shape
-        impl = _resolve_impl(cfg, L)
+        impl = _resolve_impl(cfg, L, B)
         if impl in ("pallas", "pallas_block") and fused_supported(
             _local_rows(cfg, B, L), H
         ):

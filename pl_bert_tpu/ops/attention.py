@@ -46,14 +46,18 @@ def pallas_supported(seq_len: int, head_dim: int) -> bool:
     )
 
 
-def fused_block_supported(seq_len: int, num_heads: int, head_dim: int) -> bool:
+def fused_block_supported(
+    seq_len: int, num_heads: int, head_dim: int, global_width: int = 0
+) -> bool:
     """The fully-fused attention-block kernel (QKV + attention + output
-    projection, ops/attention_block.py) handles these shapes on TPU."""
+    projection, ops/attention_block.py) handles these shapes on TPU.
+    ``global_width``: full E when ``num_heads`` is a tensor-parallel
+    shard's local count (the kernel's VMEM budget scales with E·P)."""
     if not (_on_tpu() and _kernel_available()):
         return False
     from pl_bert_tpu.ops.attention_block import block_supported
 
-    return block_supported(seq_len, num_heads, head_dim)
+    return block_supported(seq_len, num_heads, head_dim, global_width)
 
 
 def xla_attention(q, k, v, bias=None, segment_ids=None, dtype=jnp.bfloat16):

@@ -47,22 +47,31 @@ _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LANES = 128  # MXU/VPU lane width; one program owns one 128-lane head group
 
 
-def block_supported(seq_len: int, num_heads: int, head_dim: int) -> bool:
+def block_supported(
+    seq_len: int, num_heads: int, head_dim: int, global_width: int = 0
+) -> bool:
     """Shapes the fused block kernel handles: tile-aligned sequence and
     head groups that fill the 128-lane MXU width exactly, with the
-    weight-resident VMEM working set in budget."""
+    weight-resident VMEM working set in budget.
+
+    ``global_width``: the FULL embedding width E when the caller passes
+    per-shard projections (tensor parallelism: ``num_heads`` is the
+    local count, weights are [E, P] with P = E/m — the VMEM footprint
+    scales with E·P, not P²). Defaults to the single-shard case P = E.
+    """
     if head_dim not in (64, 128):
         return False
-    emb = num_heads * head_dim
+    emb = num_heads * head_dim  # P: this shard's projection width
     if emb % _LANES:
         return False
-    if emb > 1024:
-        # the kernel keeps all four [E, E] bf16 projection weights
-        # VMEM-resident; measured on v5e the working set fits at E=1024
-        # (51.8k tok/s, 68.9% MFU at 24 layers) but exceeds the 16MB
-        # scoped limit at E=2048 (compile-time VMEM OOM, +851K over) —
-        # larger widths use the per-head flash kernel, whose VMEM use
-        # is E-independent
+    gw = global_width or emb
+    if emb * gw > 1024 * 1024:
+        # the kernel keeps all four [E, P] bf16 projection weights
+        # VMEM-resident; measured on v5e the working set fits at
+        # E=P=1024 (51.8k tok/s, 68.9% MFU at 24 layers) but exceeds
+        # the 16MB scoped limit at E=P=2048 (compile-time VMEM OOM,
+        # +851K over) — wider E·P products use the per-head flash
+        # kernel, whose VMEM use is E-independent
         return False
     return seq_len % 128 == 0
 
@@ -71,8 +80,9 @@ def _heads_per_group(head_dim: int) -> int:
     return _LANES // head_dim
 
 
-def _attend_one_head(qh, kh, vh, bias, seg, *, scale, use_segments):
-    """[L, D] bf16 q/k/v → (probs fp32 [L, L], row max [L,1], denom [L,1])."""
+def _attend_one_head(qh, kh, bias, seg, *, scale, use_segments):
+    """[L, D] bf16 q/k → (probs fp32 [L, L], row max [L,1], denom [L,1]);
+    the p·v contraction happens at the call site."""
     s = jax.lax.dot_general(
         qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -133,7 +143,7 @@ def _fwd_kernel(
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         p, m, d = _attend_one_head(
-            q2[:, sl], k2[:, sl], v2[:, sl], bias, seg,
+            q2[:, sl], k2[:, sl], bias, seg,
             scale=scale, use_segments=use_segments,
         )
         md_ref[0, 0, :, 2 * h] = m[:, 0]
@@ -422,9 +432,10 @@ def attention_block(
     """
     B, L, E = hidden.shape
     head_dim = wq.shape[1] // num_heads
-    if not block_supported(L, num_heads, head_dim):
+    if not block_supported(L, num_heads, head_dim, global_width=E):
         raise ValueError(
-            f"unsupported fused-block shape: L={L} H={num_heads} D={head_dim}"
+            f"unsupported fused-block shape: L={L} H={num_heads} "
+            f"D={head_dim} E={E}"
         )
     if bias is None:
         bias_row = jnp.zeros((B, 1, L), jnp.float32)

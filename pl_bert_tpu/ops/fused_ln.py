@@ -69,10 +69,11 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    x_ref, res_ref, gamma_ref, beta_ref, seed_ref, g_ref,
+    x_ref, res_ref, gamma_ref, seed_ref, g_ref,
     dx_ref, dres_ref, dgamma_ref, dbeta_ref,
     *, rate: float, eps: float,
 ):
+    # (no beta operand: dbeta = Σg needs only the cotangent)
     x = x_ref[...].astype(jnp.float32)
     if rate > 0.0:
         keep = _mask(x.shape, seed_ref, rate=rate)  # same seed → same mask
@@ -135,7 +136,7 @@ def _fused_bwd(rate, eps, residuals, g):
     dx, dres, dgamma_p, dbeta_p = pl.pallas_call(
         functools.partial(_bwd_kernel, rate=rate, eps=eps),
         grid=(n_blocks,),
-        in_specs=[row, row, vec, vec, seed_spec, row],
+        in_specs=[row, row, vec, seed_spec, row],
         out_specs=[row, row, partial, partial],
         out_shape=[
             jax.ShapeDtypeStruct((N, H), x.dtype),
@@ -146,7 +147,7 @@ def _fused_bwd(rate, eps, residuals, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)
         ),
-    )(x, res, gamma.reshape(1, H), beta.reshape(1, H), seed, g)
+    )(x, res, gamma.reshape(1, H), seed, g)
     dgamma = dgamma_p.sum(axis=(0, 1)).astype(gamma.dtype)
     dbeta = dbeta_p.sum(axis=(0, 1)).astype(beta.dtype)
     return dx, dres, dgamma, dbeta, None
@@ -161,6 +162,7 @@ def fused_supported(n_rows: int, hidden: int) -> bool:
     return (
         _on_tpu()
         and _kernel_available()
+        and n_rows > 0  # 0 rows = a batch this shard layout can't slice
         and n_rows % _block_rows(hidden) == 0
         and hidden % 128 == 0
     )
@@ -177,6 +179,15 @@ def dropout_add_layernorm(
     shape = x.shape
     H = shape[-1]
     x2 = x.reshape(-1, H)
+    rows = _block_rows(H)
+    if x2.shape[0] % rows or H % 128:
+        # the grid floor-divides the row count: a ragged tail block
+        # would come back UNINITIALIZED (silent NaNs), so refuse loudly
+        # — callers gate on fused_supported() for the fallback path
+        raise ValueError(
+            f"dropout_add_layernorm needs rows % {rows} == 0 and "
+            f"H % 128 == 0, got {x2.shape} (use fused_supported())"
+        )
     r2 = residual.reshape(-1, H)
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)

@@ -146,7 +146,7 @@ def test_model_pallas_block_wiring(monkeypatch):
     # interpret mode on CPU: override the on-TPU gate (fused LN stays
     # gated off; it has its own interpret tests)
     monkeypatch.setattr(
-        attn_mod, "fused_block_supported", lambda L, H, D: True
+        attn_mod, "fused_block_supported", lambda *a, **k: True
     )
     with pltpu.force_tpu_interpret_mode():
         out = model_block.apply(
@@ -166,3 +166,8 @@ def test_block_supported_vmem_bound():
     assert block_supported(512, 16, 64)       # E=1024: fits (measured)
     assert not block_supported(512, 32, 64)   # E=2048: VMEM OOM
     assert not block_supported(512, 16, 128)  # E=2048 via head_dim 128
+    # tensor parallelism: weights are [E, P], so the budget scales with
+    # E·P — a LOCAL width of 1024 must still be rejected when the
+    # GLOBAL width is 2048 (E·P = 2^21), while E=1024 TP-sharded passes
+    assert not block_supported(512, 16, 64, global_width=2048)
+    assert block_supported(512, 8, 64, global_width=1024)

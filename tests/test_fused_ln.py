@@ -87,3 +87,24 @@ def test_block_rows_divide_realistic_row_counts():
         assert flagship_rows % rows == 0, (H, rows)
     assert _block_rows(768) == 256   # measured-fast flagship config
     assert _block_rows(2048) == 128  # the measured VMEM bound
+
+
+def test_ragged_row_count_rejected_loudly():
+    """The grid floor-divides the row count: a ragged tail block would
+    come back UNINITIALIZED (silent NaNs — empirically confirmed on
+    rows 256+ of a [300, 128] input before this guard). The public API
+    must refuse instead; callers gate on fused_supported()."""
+    import jax.numpy as jnp
+    import pytest
+
+    from pl_bert_tpu.ops.fused_ln import dropout_add_layernorm, fused_supported
+
+    x = jnp.zeros((300, 128), jnp.float32)
+    g = jnp.ones((128,), jnp.float32)
+    b = jnp.zeros((128,), jnp.float32)
+    with pytest.raises(ValueError, match="rows"):
+        dropout_add_layernorm(x, x, g, b)
+    # and the dispatch predicate agrees (including the 0-row case a
+    # too-small serving batch produces under shard_map slicing)
+    assert not fused_supported(300, 128)
+    assert not fused_supported(0, 128)

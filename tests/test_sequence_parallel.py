@@ -154,7 +154,7 @@ def test_sp_model_forward_matches_xla(monkeypatch):
     )
     model_sp = build_model(mp_sp, mixed_precision="fp32", mesh=_mesh_1x2())
     monkeypatch.setattr(
-        attn_mod, "fused_block_supported", lambda L, H, D: True
+        attn_mod, "fused_block_supported", lambda *a, **k: True
     )
     with pltpu.force_tpu_interpret_mode():
         apply = jax.jit(
@@ -251,7 +251,7 @@ def test_sp_with_remat_forward(monkeypatch):
         mp_sp, mixed_precision="fp32", mesh=_mesh_1x2(), remat=True
     )
     monkeypatch.setattr(
-        attn_mod, "fused_block_supported", lambda L, H, D: True
+        attn_mod, "fused_block_supported", lambda *a, **k: True
     )
     with pltpu.force_tpu_interpret_mode():
         out = jax.jit(

@@ -149,7 +149,7 @@ def test_tp_model_forward_matches_xla(monkeypatch):
     mp_tp = dataclasses.replace(mp, attention_impl="pallas_block")
     model_tp = build_model(mp_tp, mixed_precision="fp32", mesh=mesh)
     monkeypatch.setattr(
-        attn_mod, "fused_block_supported", lambda L, H, D: True
+        attn_mod, "fused_block_supported", lambda *a, **k: True
     )
     with pltpu.force_tpu_interpret_mode():
         apply = jax.jit(
