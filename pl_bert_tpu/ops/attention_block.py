@@ -98,7 +98,10 @@ def _attend_one_head(qh, kh, bias, seg, *, scale, use_segments):
 def _dropout(p, seed_ref, head_index, *, rate: float):
     """Multiplicative dropout on attention probs; the (seed, head_index)
     pair fully determines the mask so fwd and bwd regenerate it
-    identically."""
+    identically. KEEP IN SYNC with flash_attention._dropout (same
+    threshold semantics, stream index derived differently) — both
+    kernels are deliberately self-contained rather than sharing a
+    helper, so a change here must be mirrored there."""
     pltpu.prng_seed(seed_ref[0] + head_index)
     bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
     keep = bits > jnp.uint32(rate * (2**32))

@@ -36,7 +36,8 @@ _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _dropout(p, seed_ref, *, rate: float):
     """Multiplicative dropout mask on attention probs, regenerated
-    identically in fwd and bwd from (seed, program_id)."""
+    identically in fwd and bwd from (seed, program_id). KEEP IN SYNC
+    with attention_block._dropout (same threshold semantics)."""
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     bits = pltpu.prng_random_bits(p.shape)
     keep = pltpu.bitcast(bits, jnp.uint32) > jnp.uint32(rate * (2**32))
