@@ -14,6 +14,16 @@ from typing import Iterator
 import numpy as np
 
 
+def full_lengths(samples: list[list[str]]) -> np.ndarray:
+    """Uncropped phoneme length per sample (one separator per word) —
+    the ONE definition of "full length", shared by the in-RAM datasets
+    and the store writer (a drift between the two would silently change
+    which samples get per-epoch re-crop windows)."""
+    return np.array(
+        [sum(len(w) + 1 for w in s) for s in samples], dtype=np.int64
+    )
+
+
 def pack_token_batch(
     samples: list[list[str]],
     token_lists: list[list[int]],
@@ -109,9 +119,7 @@ class PackedPhonemeDataset(_PackedBase):
             samples, max_seq_length
         )
         # keep only the samples that need per-epoch re-cropping
-        full_lens = np.array(
-            [sum(len(w) + 1 for w in s) for s in samples], dtype=np.int64
-        )
+        full_lens = full_lengths(samples)
         long_mask = full_lens > max_seq_length
         self._long_idx = np.flatnonzero(long_mask)
         self._long_samples = [samples[i] for i in self._long_idx]
@@ -202,20 +210,40 @@ class PackedSequenceDataset(_PackedBase):
             toks = pack_token_batch(samples, token_lists, L, token_separator)
 
         order = np.argsort(lens)[::-1]  # first-fit decreasing
+        # Placement-identical to the naive first-fit scan, but bins that
+        # can never fit anything again leave the scan: a bin with space
+        # below the GLOBAL min length is dead (lengths only decrease in
+        # FFD order), and ``ub_max`` (a never-decreasing upper bound on
+        # the best active space) short-circuits scans that cannot
+        # succeed. Without this, a corpus of window-filling samples
+        # (every bin at space 0) degenerates to O(n^2) Python-loop
+        # iterations per 65536-row store chunk.
+        nonzero = lens[lens > 0]
+        min_len = int(nonzero.min()) if nonzero.size else 0
         bins: list[list[int]] = []
         bin_space: list[int] = []
+        active: list[int] = []  # creation-ordered bins with space >= min_len
+        ub_max = -1
         for idx in order:
             n = int(lens[idx])
             if n == 0:
                 continue
-            for b, space in enumerate(bin_space):
-                if n <= space:
-                    bins[b].append(int(idx))
-                    bin_space[b] -= n
-                    break
-            else:
+            placed = False
+            if n <= ub_max:
+                for pos, b in enumerate(active):
+                    if n <= bin_space[b]:
+                        bins[b].append(int(idx))
+                        bin_space[b] -= n
+                        if bin_space[b] < min_len:
+                            active.pop(pos)
+                        placed = True
+                        break
+            if not placed:
                 bins.append([int(idx)])
                 bin_space.append(L - n)
+                if L - n >= min_len:
+                    active.append(len(bins) - 1)
+                    ub_max = max(ub_max, L - n)
 
         rows = len(bins)
         self.label_ids = np.zeros((rows, L), np.int32)

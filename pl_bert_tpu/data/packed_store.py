@@ -59,6 +59,7 @@ import numpy as np
 from pl_bert_tpu.data.packed import (
     PackedSequenceDataset,
     _PackedBase,
+    full_lengths,
     pack_token_batch,
 )
 
@@ -87,12 +88,6 @@ def _chunks(records: Iterable[dict], size: int) -> Iterator[list[dict]]:
         yield chunk
 
 
-def _full_lengths(samples: list[list[str]]) -> np.ndarray:
-    return np.array(
-        [sum(len(w) + 1 for w in s) for s in samples], dtype=np.int64
-    )
-
-
 def _write_rows_shard(
     shard_dir: str, chunk: list[dict], L: int, token_separator: int,
     has_tokens: bool,
@@ -101,7 +96,7 @@ def _write_rows_shard(
 
     samples = [r["phonemes"] for r in chunk]
     labels, words, lengths = pack_batch_native(samples, L)
-    full_lens = _full_lengths(samples)
+    full_lens = full_lengths(samples)
     long_local = np.flatnonzero(full_lens > L)
 
     os.makedirs(shard_dir)
@@ -216,15 +211,28 @@ def write_packed_store(
     totals = {"rows": 0, "samples": 0, "long_rows": 0, "tokens": 0}
     max_token_id = -1
     write = _write_packed_rows_shard if sequence_packing else _write_rows_shard
+    seen = 0
     for i, chunk in enumerate(
         _chunks(itertools.chain([first], it), shard_rows)
     ):
-        for r in chunk:
+        for j, r in enumerate(chunk):
             if has_tokens != ("token_ids" in r):
                 raise ValueError(
                     "inconsistent dataset: some records have 'token_ids' "
                     "and some do not"
                 )
+            if has_tokens and len(r["token_ids"]) != len(r["phonemes"]):
+                # fail HERE with the record index, not as an opaque numpy
+                # broadcast error deep inside a shard write (the host
+                # training path validates the same invariant per row,
+                # train.py; reference expects alignment at dataloader.py:40)
+                raise ValueError(
+                    f"record {seen + j}: token_ids has "
+                    f"{len(r['token_ids'])} entries for "
+                    f"{len(r['phonemes'])} phoneme words — run the "
+                    "tokenize stage to (re)build aligned token_ids"
+                )
+        seen += len(chunk)
         name = _shard_name(i)
         stats = write(
             os.path.join(tmp, name), chunk, max_seq_length,
@@ -250,8 +258,22 @@ def write_packed_store(
     }
     with open(os.path.join(tmp, META_NAME), "w", encoding="utf-8") as f:
         json.dump(meta, f, indent=1)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # install the new store with the previous one intact until the very
+    # last rename: rmtree-then-rename would leave NO store at the
+    # configured path if the writer dies in between (and silently no-op
+    # on a non-directory, making the rename fail confusingly)
+    old = None
+    if os.path.lexists(out_dir):
+        old = out_dir + ".replaced"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.lexists(old):
+            os.remove(old)
+        os.rename(out_dir, old)
     os.rename(tmp, out_dir)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.lexists(old):
+            os.remove(old)
     return out_dir
 
 

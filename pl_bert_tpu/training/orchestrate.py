@@ -48,8 +48,12 @@ class RestartTracker:
         state["count"] = count
         state["last_start"] = time.time()
         os.makedirs(os.path.dirname(os.path.abspath(self.state_path)), exist_ok=True)
-        with open(self.state_path, "w") as f:
+        # atomic write: a preemption mid-dump would otherwise truncate
+        # the file and reset the very counter that counts preemptions
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(state, f)
+        os.replace(tmp, self.state_path)
         return count
 
 
@@ -128,7 +132,19 @@ def launch_subprocess(
         proc = subprocess.Popen(cmd, env=env if env is not None else None)
         with open(pid_path, "w") as f:
             f.write(str(proc.pid))
-        rc = proc.wait()
+        try:
+            rc = proc.wait()
+        except BaseException:
+            # launcher dying (supervisor SIGTERM → KeyboardInterrupt /
+            # SystemExit) must not orphan a live trainer: a relaunched
+            # launcher would start a SECOND trainer racing the first on
+            # the same run dir's checkpoints and restart tracker
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+            raise
         if rc == 0:
             return 0
         attempts += 1

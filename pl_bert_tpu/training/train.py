@@ -312,9 +312,15 @@ class Trainer:
             if self.use_token_ids:
                 # out-of-range grapheme labels would be SILENTLY clamped
                 # by the CE's take_along_axis — fail loudly instead; the
-                # store records the full-corpus max at pack time
+                # store records the full-corpus max at pack time. The
+                # store's max is over RAW ids, so fold in the separator
+                # id physically written at separator positions (the
+                # in-RAM path's token_ids.max() already includes it)
                 max_tid = (
-                    int(self.packed.meta["max_token_id"]) if is_store
+                    max(
+                        int(self.packed.meta["max_token_id"]),
+                        dp.word_separator,
+                    ) if is_store
                     else int(self.packed.token_ids.max())
                 )
                 _check_token_vocab(max_tid, mp.num_token_vocab)

@@ -420,3 +420,68 @@ def test_pack_stage_accepts_arrow_dataset(tmp_path):
     b2 = next(ref.batches(8, 1, seed=2))
     for k in b2:
         np.testing.assert_array_equal(b1[k], b2[k])
+
+
+def test_repack_over_existing_store_swaps_atomically(tmp_path, corpus):
+    """Re-packing over an existing store must install the new one with
+    the old intact until the final rename (no window with NO store at
+    the configured path) and leave no .replaced remnant behind."""
+    out = str(tmp_path / "st_swap")
+    write_packed_store(iter(corpus[:50]), out, max_seq_length=128)
+    first_rows = open_packed_store(out).meta["num_samples"]
+    write_packed_store(iter(corpus), out, max_seq_length=128)
+    second = open_packed_store(out)
+    assert second.meta["num_samples"] == len(corpus) != first_rows
+    assert not os.path.exists(out + ".replaced")
+    assert not os.path.exists(out + ".tmp")
+
+
+def test_misaligned_token_ids_fail_with_record_index(tmp_path):
+    """A token_ids list whose length disagrees with its phoneme words
+    must fail upfront naming the record — not as an opaque numpy
+    broadcast error deep inside a shard write."""
+    records = [
+        {"phonemes": ["ab", "cd"], "token_ids": [1, 2]} for _ in range(3)
+    ]
+    records.append({"phonemes": ["ab", "cd"], "token_ids": [1]})
+    with pytest.raises(ValueError, match="record 3"):
+        write_packed_store(iter(records), str(tmp_path / "st_bad"))
+
+
+def test_store_vocab_check_includes_separator(tmp_path):
+    """The store records the max RAW token id; the Trainer's vocab check
+    must also cover the separator id physically written at separator
+    positions — a head sized between them would silently clamp every
+    separator label (same guarantee the in-RAM path gets from
+    token_ids.max())."""
+    import dataclasses
+
+    from pl_bert_tpu.config import Config
+    from pl_bert_tpu.training.train import Trainer
+
+    corpus = make_synthetic_corpus(40, seed=5, token_vocab=50)
+    store = write_packed_store(
+        iter(corpus), str(tmp_path / "st_sep"), max_seq_length=64,
+        token_separator=87,
+    )
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        training_params=dataclasses.replace(
+            cfg.training_params, batch_size=8, num_steps=1,
+            output_dir=str(tmp_path / "ckpt"), training_dataset=store,
+            mixed_precision="fp32",
+        ),
+        dataset_params=dataclasses.replace(
+            cfg.dataset_params, max_seq_length=64, ondevice_masking=True,
+            word_separator=87,
+        ),
+        model_params=dataclasses.replace(
+            cfg.model_params, hidden_size=64, num_attention_heads=4,
+            intermediate_size=128, max_position_embeddings=64,
+            num_hidden_layers=2, embedding_size=32, attention_impl="xla",
+            num_token_vocab=60,  # > max raw id 50, but < separator 87
+        ),
+    )
+    with pytest.raises(ValueError, match="word_separator|num_token_vocab"):
+        Trainer(cfg, str(tmp_path / "ckpt/run_sep"), resuming=False)
