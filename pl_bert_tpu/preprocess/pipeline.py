@@ -67,20 +67,40 @@ def load_source_dataset(cfg, local_path: str | None = None):
     )["train"]
 
 
+def _stage_shard_root(base: str, output_name: str) -> str:
+    """Stage-private shard directory. Every stage sharding into the same
+    directory would let an interrupted run's shard_N dirs from ONE stage
+    be adopted as completed shards by a DIFFERENT stage on resume
+    (wrong records silently concatenated into the output)."""
+    return os.path.join(base, f".shards_{os.path.basename(output_name)}")
+
+
+def _finish_stage(shard_root: str) -> None:
+    try:
+        os.rmdir(shard_root)  # only succeeds when cleanup emptied it
+    except OSError:
+        pass
+
+
 def main_clean(config: Config, local_dataset_path: str | None = None) -> str:
     pp = config.preprocess_params
     dataset = load_source_dataset(pp, local_dataset_path)
     print(f"Cleaning {len(dataset)} samples")
-    return process_dataset(
+    shard_root = _stage_shard_root(pp.preprocess_dir, pp.cleaned_output_dir)
+    out = process_dataset(
         dataset=dataset,
-        root_directory=pp.preprocess_dir,
+        root_directory=shard_root,
         process_fn=standardize_text,
-        output_dir=pp.cleaned_output_dir,
+        output_dir=os.path.abspath(
+            os.path.join(pp.preprocess_dir, pp.cleaned_output_dir)
+        ),
         max_workers=pp.max_workers,
         timeout=pp.timeout,
         max_try_count=pp.max_try_count,
         num_shards=pp.num_shards,
     )
+    _finish_stage(shard_root)
+    return out
 
 
 def _phonemize_record(record: dict, backend) -> dict:
@@ -98,17 +118,25 @@ def main_phonemize(
     if output_dir is None:
         output_dir = f"{os.path.basename(dataset_path)}.phonemized"
     print(f"Phonemizing {len(dataset)} samples via {pp.g2p_backend}")
-    return process_dataset(
+    base = os.path.dirname(dataset_path) or "."
+    if not os.path.isabs(output_dir):
+        output_dir = os.path.join(base, output_dir)
+    shard_root = _stage_shard_root(base, output_dir)
+    out = process_dataset(
         dataset=dataset,
-        root_directory=os.path.dirname(dataset_path) or ".",
+        root_directory=shard_root,
         process_fn=_phonemize_record,
         process_args=backend,
-        output_dir=output_dir,
+        output_dir=os.path.abspath(output_dir),
         max_workers=min(pp.max_workers, 4),
-        timeout=3600,
+        # espeak is the slowest stage: honor a LARGER configured timeout
+        # but never shrink below the hour that real espeak shards need
+        timeout=max(pp.timeout, 3600),
         max_try_count=pp.max_try_count,
         num_shards=min(pp.num_shards, 100),
     )
+    _finish_stage(shard_root)
+    return out
 
 
 def _tokenize_record(record: dict, tokenizer) -> dict:
@@ -176,12 +204,7 @@ def main_tokenize(
     base = os.path.dirname(dataset_path) or "."
     if not os.path.isabs(output_dir):
         output_dir = os.path.join(base, output_dir)
-    # stage-private shard root: an interrupted phonemize run leaves
-    # shard_N dirs in the dataset's directory that would otherwise be
-    # adopted as completed tokenize shards
-    shard_root = os.path.join(
-        base, f".shards_{os.path.basename(output_dir)}"
-    )
+    shard_root = _stage_shard_root(base, output_dir)
     out = process_dataset(
         dataset=dataset,
         root_directory=shard_root,
@@ -193,12 +216,12 @@ def main_tokenize(
         max_try_count=pp.max_try_count,
         num_shards=min(pp.num_shards, 100),
     )
-    try:
-        os.rmdir(shard_root)
-    except OSError:
-        pass
+    _finish_stage(shard_root)
+    from pl_bert_tpu.preprocess.shard_engine import iter_processed_dataset
+
+    # stream: counting mismatches must not re-materialize the corpus
     mismatched = sum(
-        1 for r in load_processed_dataset(out)
+        1 for r in iter_processed_dataset(out)
         if r.get("token_alignment") == "mismatch"
     )
     if mismatched:
@@ -339,6 +362,9 @@ def main(argv=None) -> None:
     else:
         cleaned = args.dataset_path
     if args.stage in ("phonemize", "all"):
+        if not cleaned:
+            parser.error("--stage phonemize requires --dataset_path "
+                         "(a cleaned dataset)")
         main_phonemize(config, cleaned)
     if args.stage == "tokenize":
         # multi-task data column; input = a PHONEMIZED dataset
@@ -354,6 +380,9 @@ def main(argv=None) -> None:
                          "(a phonemized dataset)")
         main_pack(config, cleaned)
     if args.stage in ("diacritize", "all"):
+        if not cleaned:
+            parser.error("--stage diacritize requires --dataset_path "
+                         "(a cleaned dataset)")
         diacritized = main_diacritize(config, cleaned)
         main_phonemize(config, diacritized)
 

@@ -128,7 +128,12 @@ def process_missing_shards(
             elif time.monotonic() - started > timeout:
                 print(f"Shard {i} timed out after {timeout}s; killing worker")
                 p.terminate()
-                p.join()
+                p.join(10)
+                if p.is_alive():
+                    # a worker wedged in native code can ignore SIGTERM;
+                    # escalate so one stuck shard can't hang the engine
+                    p.kill()
+                    p.join()
                 finished.append(i)
                 failed.append(i)
         for i in finished:
@@ -165,10 +170,42 @@ def cleanup_shards(root: str) -> int:
 
 
 def combine_and_save(shards: list[list[dict]], output_path: str) -> int:
+    """Save in-memory record lists (small outputs, e.g. the diacritize
+    sample). Shard-dir outputs go through :func:`combine_shards_streaming`
+    instead — never materialize a full corpus as Python objects."""
     records = [r for shard in shards for r in shard]
     os.makedirs(output_path, exist_ok=True)
     _save_records(records, output_path)
     return len(records)
+
+
+def combine_shards_streaming(root: str, output_path: str) -> int:
+    """Concatenate completed shards' ``records.jsonl`` files line by line
+    into ``output_path/records.jsonl`` (atomic rename) — constant memory
+    at any corpus size. The reference gets the same out-of-core property
+    from arrow ``concatenate_datasets`` (reference: preprocess.py:265-276).
+    Shard order matches the previous in-memory combine (lexical dir-name
+    sort), so combined corpus order is unchanged."""
+    os.makedirs(output_path, exist_ok=True)
+    final = os.path.join(output_path, "records.jsonl")
+    tmp = final + ".tmp"
+    total = 0
+    with open(tmp, "w", encoding="utf-8") as out:
+        for name in sorted(os.listdir(root)):
+            if not (_SHARD_RE.match(name)
+                    and os.path.isdir(os.path.join(root, name))):
+                continue
+            shard_file = os.path.join(root, name, "records.jsonl")
+            try:
+                with open(shard_file, encoding="utf-8") as f:
+                    for line in f:
+                        if line.strip():
+                            out.write(line if line.endswith("\n") else line + "\n")
+                            total += 1
+            except OSError as e:
+                print(f"Error loading {name}: {e}")
+    os.replace(tmp, final)
+    return total
 
 
 def load_processed_dataset(path: str) -> list[dict]:
@@ -223,12 +260,29 @@ def process_dataset(
 
     if missing:
         print(f"Warning: {len(missing)} shards failed after {max_try_count} attempts: {missing}")
+    if len(missing) == num_shards:
+        # reference refuses to save with zero successful shards
+        # (reference: preprocess.py:281); an empty 'success' would let a
+        # --stage all run silently process an empty corpus to completion
+        raise RuntimeError(
+            f"no shards were successfully processed in {root_directory} — "
+            "nothing to save"
+        )
 
-    shards = load_all_shards(root_directory)
     output_path = (
         os.path.join(root_directory, output_dir) if output_dir else root_directory
     )
-    total = combine_and_save(shards, output_path)
+    total = combine_shards_streaming(root_directory, output_path)
     print(f"Dataset saved to {output_path} ({total} samples)")
-    cleanup_shards(root_directory)
+    if missing:
+        # PARTIAL output: keep the completed shard dirs so a rerun
+        # resumes exactly where this one gave up — cleaning up here
+        # would destroy the resume state precisely when it's needed
+        print(
+            f"PARTIAL dataset ({len(missing)} shards missing); keeping "
+            f"{num_shards - len(missing)} completed shard dirs for resume "
+            "— rerun this stage to complete"
+        )
+    else:
+        cleanup_shards(root_directory)
     return output_path

@@ -263,3 +263,90 @@ def test_tokenize_stage_flags_g2p_word_count_drift(tmp_path):
     out = _tokenize_record(merged, tok)
     assert out["token_alignment"] == "mismatch"
     assert out["token_ids"] == [tok.unk_token_id] * 2
+
+
+def test_partial_failure_keeps_shards_and_rerun_completes(tmp_path):
+    """A stage that ends with missing shards must save the PARTIAL
+    output but KEEP the completed shard dirs, so a rerun resumes and
+    completes instead of reprocessing everything (the old behavior
+    deleted the resume state exactly when it was needed)."""
+    marker = tmp_path / "fail_once"
+    marker.write_text("")
+    path = str(marker)
+
+    def flaky(t):
+        if "x3" in t and os.path.exists(path):
+            raise RuntimeError("injected")
+        return t.upper()
+
+    data = [{"id": str(i), "text": f"x{i}"} for i in range(8)]
+    root = str(tmp_path / "shards")
+    out = process_dataset(
+        data, root, flaky, output_dir="out",
+        max_workers=2, timeout=30, max_try_count=1, num_shards=8,
+    )
+    assert len(load_processed_dataset(out)) == 7  # partial, saved
+    assert len(get_existing_shards(root)) == 7   # resume state KEPT
+
+    os.remove(path)  # heal the failure; rerun must complete
+    out = process_dataset(
+        data, root, flaky, output_dir="out",
+        max_workers=2, timeout=30, max_try_count=1, num_shards=8,
+    )
+    assert len(load_processed_dataset(out)) == 8
+    assert get_existing_shards(root) == set()  # complete → cleaned up
+
+
+def test_all_shards_failing_raises(tmp_path):
+    """Zero successful shards must refuse to save (the reference refuses
+    too, preprocess.py:281) — an empty 'success' would let --stage all
+    process an empty corpus to completion."""
+    import pytest
+
+    def boom(t):
+        raise RuntimeError("nope")
+
+    with pytest.raises(RuntimeError, match="no shards"):
+        process_dataset(
+            [{"id": "0", "text": "x"}], str(tmp_path / "shards"), boom,
+            output_dir="out", max_workers=2, timeout=30,
+            max_try_count=1, num_shards=1,
+        )
+
+
+def test_stage_shard_namespaces_are_private(tmp_path):
+    """An interrupted run's shard dirs from one stage must never be
+    adopted as completed shards by a different stage sharding over the
+    same directory (silent corpus corruption)."""
+    import json
+
+    from pl_bert_tpu.config import Config
+    from pl_bert_tpu.preprocess.pipeline import main_phonemize
+
+    base = tmp_path / "prep"
+    ds_dir = base / "cleaned"
+    ds_dir.mkdir(parents=True)
+    with open(ds_dir / "records.jsonl", "w", encoding="utf-8") as f:
+        for i in range(6):
+            f.write(json.dumps({"id": str(i), "text": f"kalima {i}"}) + "\n")
+    # a stray interrupted-stage shard dir right next to the dataset,
+    # holding GARBAGE records that must not leak into the output
+    stray = base / "shard_0"
+    stray.mkdir()
+    with open(stray / "records.jsonl", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"id": "zzz", "text": "GARBAGE"}) + "\n")
+
+    config = Config.from_dict({
+        "preprocess_params": {
+            "num_shards": 3, "max_workers": 2, "max_try_count": 1,
+            "timeout": 60, "g2p_backend": "identity",
+            "preprocess_dir": str(base),
+        },
+    })
+    out = main_phonemize(config, str(ds_dir))
+    records = load_processed_dataset(out)
+    assert len(records) == 6
+    assert all("GARBAGE" not in r["text"] for r in records)
+    assert all("phonemes" in r for r in records)
+    # the stray dir is untouched (it belongs to whoever created it)
+    assert stray.is_dir()
