@@ -153,6 +153,22 @@ class TrainingParams:
             raise ConfigError(
                 f"lr_min_ratio must be in [0, 1], got {self.lr_min_ratio}"
             )
+        if self.save_interval < 1:
+            # fail HERE, not as a ZeroDivisionError after the first
+            # (minutes-long on the remote TPU) compile + train step
+            raise ConfigError(
+                f"save_interval must be >= 1, got {self.save_interval}"
+            )
+        if self.val_interval < 0:
+            raise ConfigError(
+                f"val_interval must be >= 0 (0 = validate at "
+                f"save_interval), got {self.val_interval}"
+            )
+        if self.max_epochs < 1 or self.num_steps < 1:
+            raise ConfigError(
+                f"max_epochs/num_steps must be >= 1, got "
+                f"{self.max_epochs}/{self.num_steps}"
+            )
 
 
 @dataclass

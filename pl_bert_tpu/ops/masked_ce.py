@@ -20,6 +20,19 @@ import jax
 import jax.numpy as jnp
 
 
+def valid_positions(
+    mask_positions: jax.Array, lengths: jax.Array | None, L: int
+) -> jax.Array:
+    """Masked positions restricted to each sample's real length — THE
+    validity rule every loss/metric here shares, and the one
+    train_step._samples_with_masks must stay bitwise-identical to (the
+    grad-accum weighting is exact only while the two agree)."""
+    if lengths is None:
+        return mask_positions
+    in_range = jnp.arange(L)[None, :] < lengths[:, None]
+    return mask_positions & in_range
+
+
 def masked_phoneme_loss(
     logits: jax.Array,  # f32 [B, L, V]
     labels: jax.Array,  # i32 [B, L]
@@ -27,10 +40,7 @@ def masked_phoneme_loss(
     lengths: jax.Array | None = None,  # i32 [B] — crops padding
 ) -> jax.Array:
     """Reference-equivalent masked CE (scalar f32)."""
-    valid = mask_positions
-    if lengths is not None:
-        in_range = jnp.arange(labels.shape[1])[None, :] < lengths[:, None]
-        valid = valid & in_range
+    valid = valid_positions(mask_positions, lengths, labels.shape[1])
 
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     token_nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
@@ -81,10 +91,7 @@ def masked_lm_loss_chunked(
             chunk_size -= 1
     n = L // chunk_size
 
-    valid = mask_positions
-    if lengths is not None:
-        in_range = jnp.arange(L)[None, :] < lengths[:, None]
-        valid = valid & in_range
+    valid = valid_positions(mask_positions, lengths, L)
 
     cdt = hidden.dtype
     k_c = kernel.astype(cdt)
@@ -149,10 +156,7 @@ def masked_lm_loss(
             hidden, kernel, bias, labels, mask_positions, lengths, chunk_size
         )
 
-    valid = mask_positions
-    if lengths is not None:
-        in_range = jnp.arange(L)[None, :] < lengths[:, None]
-        valid = valid & in_range
+    valid = valid_positions(mask_positions, lengths, L)
 
     counts = valid.sum(axis=1)
 
@@ -182,10 +186,7 @@ def masked_accuracy(
     lengths: jax.Array | None = None,
 ) -> jax.Array:
     """Fraction of masked positions predicted correctly (eval metric)."""
-    valid = mask_positions
-    if lengths is not None:
-        in_range = jnp.arange(labels.shape[1])[None, :] < lengths[:, None]
-        valid = valid & in_range
+    valid = valid_positions(mask_positions, lengths, labels.shape[1])
     pred = jnp.argmax(logits, axis=-1)
     hit = (pred == labels) & valid
     denom = jnp.maximum(valid.sum(), 1)

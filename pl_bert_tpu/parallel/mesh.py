@@ -26,8 +26,31 @@ MODEL_AXIS = "model"
 def make_mesh(
     data: int = -1, model: int = 1, devices=None
 ) -> Mesh:
-    """Build a (data, model) mesh; data=-1 consumes remaining devices."""
-    devices = list(devices if devices is not None else jax.devices())
+    """Build a (data, model) mesh; data=-1 consumes remaining devices.
+
+    Without an explicit ``devices`` list, the assignment is
+    topology-aware (``mesh_utils.create_device_mesh``): the
+    latency-critical MODEL axis (tensor-parallel all-reduces after every
+    attention/FFN block) lands on adjacent ICI neighbors instead of
+    whatever order ``jax.devices()`` enumerates — which interleaves
+    hosts on a pod, putting TP traffic on DCN. An explicit ``devices``
+    list is honored verbatim (tests pin specific sub-meshes)."""
+    if devices is None:
+        n = len(jax.devices())
+        if model < 1 or n % model:
+            raise ValueError(f"model axis {model} does not divide {n} devices")
+        shape = (n // model if data == -1 else data, model)
+        if shape[0] * model != n:
+            raise ValueError(f"mesh {shape[0]}x{model} != {n} devices")
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_device_mesh(shape)
+            return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+        except Exception:
+            pass  # fall through to enumeration order (CPU backends etc.)
+        devices = jax.devices()
+    devices = list(devices)
     n = len(devices)
     if model < 1 or n % model:
         raise ValueError(f"model axis {model} does not divide {n} devices")

@@ -71,22 +71,49 @@ def parse_args(argv=None) -> dict:
 
 
 def setup_config_and_directories(args: dict, config_path: str):
-    """Resume-vs-fresh run directory handling (reference semantics)."""
+    """Resume-vs-fresh run directory handling (reference semantics).
+
+    Multi-process safe: rank 0 takes the resume-vs-fresh decision and
+    broadcasts it, rank 0 alone mutates the run dir (atomic config-copy
+    rename; stale cleanup), and a barrier holds every process until the
+    directory is consistent — otherwise a rank could read a half-copied
+    config, two ranks could race rmtree on the same stale step dirs, or
+    a late-arriving rank could see the fresh run as a resume.
+    """
     original = Config.load(config_path)
     log_dir = os.path.join(original.training_params.output_dir, args["run_name"])
     config_copy = os.path.join(log_dir, os.path.basename(config_path))
 
-    if os.path.exists(log_dir):
-        if os.path.exists(config_copy):
-            return Config.load(config_copy), log_dir, True
-        for name in os.listdir(log_dir):  # stale run without config
-            if name.startswith("step_"):
-                path = os.path.join(log_dir, name)
-                shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
-        shutil.copy(config_path, config_copy)
-        return original, log_dir, False
-    os.makedirs(log_dir, exist_ok=True)
-    shutil.copy(config_path, config_copy)
+    resuming = os.path.exists(log_dir) and os.path.exists(config_copy)
+    multi = jax.process_count() > 1
+    if multi:
+        from jax.experimental import multihost_utils
+
+        resuming = bool(
+            int(multihost_utils.broadcast_one_to_all(np.int32(resuming)))
+        )
+    if not resuming and is_main_process():
+        if os.path.exists(log_dir):
+            # stale run without a config copy: clear EVERY artifact the
+            # old run left (a surviving metrics.jsonl would append the
+            # new run after the old one's records; a .crash_injected
+            # marker would silently disarm fault injection)
+            # (restart_tracker.json is deliberately NOT cleared: the
+            # orchestrator writes it before the first child starts)
+            for name in os.listdir(log_dir):
+                if name.startswith("step_") or name in (
+                    "metrics.jsonl", ".crash_injected",
+                ):
+                    path = os.path.join(log_dir, name)
+                    shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+        os.makedirs(log_dir, exist_ok=True)
+        tmp = config_copy + ".tmp"
+        shutil.copy(config_path, tmp)
+        os.replace(tmp, config_copy)
+    if multi:
+        multihost_utils.sync_global_devices("setup_config_and_directories")
+    if resuming:
+        return Config.load(config_copy), log_dir, True
     return original, log_dir, False
 
 
@@ -364,22 +391,41 @@ class Trainer:
                 seed=tp.seed,
             )
             if self.use_token_ids:
-                # full-corpus scan (cheap: one max() over int lists) so an
-                # out-of-range id in ANY row fails loudly here instead of
-                # being silently clamped by the CE's take_along_axis —
-                # same guarantee the packed path provides
-                max_tid = 0
-                for i in range(len(dataset)):
-                    ids = dataset[i].get("token_ids")
-                    if not ids:
+                # full-corpus scan so an out-of-range id in ANY row fails
+                # loudly here instead of being silently clamped by the
+                # CE's take_along_axis — same guarantee the packed path
+                # provides. Arrow datasets scan COLUMNARLY (one arrow
+                # compute pass; per-row __getitem__ would decode every
+                # full record just to take a max).
+                max_tid = -1
+                try:
+                    import pyarrow.compute as pc
+
+                    col = dataset.data.column("token_ids")
+                    lens = pc.list_value_length(col)
+                    empty = pc.index(lens, 0).as_py()
+                    if empty != -1 or lens.null_count:
+                        row = empty if empty != -1 else "with null"
                         raise ValueError(
                             "multi-task training needs 'token_ids' in "
-                            f"every dataset row, but row {i} has none — "
+                            f"every dataset row, but row {row} has none — "
                             "run the tokenize preprocessing stage "
                             "(reference expects this column at "
                             "dataloader.py:40)"
                         )
-                    max_tid = max(max_tid, max(ids))
+                    max_tid = int(pc.max(pc.list_flatten(col)).as_py())
+                except (ImportError, AttributeError, KeyError, TypeError):
+                    for i in range(len(dataset)):
+                        ids = dataset[i].get("token_ids")
+                        if not ids:
+                            raise ValueError(
+                                "multi-task training needs 'token_ids' in "
+                                f"every dataset row, but row {i} has none — "
+                                "run the tokenize preprocessing stage "
+                                "(reference expects this column at "
+                                "dataloader.py:40)"
+                            )
+                        max_tid = max(max_tid, max(ids))
                 _check_token_vocab(max_tid, mp.num_token_vocab)
 
         # init params on host, then shard onto the mesh
@@ -510,7 +556,14 @@ class Trainer:
     def validate(self) -> tuple[float, float] | None:
         """→ (mean val phoneme loss, mean masked accuracy) or None on an
         empty split; also records the batch count in _last_val_batches
-        (so callers don't re-run the host masking pipeline to count)."""
+        (so callers don't re-run the host masking pipeline to count).
+
+        The mean is UNWEIGHTED over per-batch means — deliberately the
+        reference's exact validation statistic (reference:
+        train.py:288-304 appends loss.item() per batch and np.mean's),
+        so a ragged final batch carries the same per-batch weight there
+        and here. Padded rows contribute nothing to a batch's own mean
+        (ops/masked_ce.py)."""
         losses, accs = [], []
         bs = self.config.training_params.batch_size
         tp = self.config.training_params
@@ -585,11 +638,12 @@ class Trainer:
 
         val = self.validate()
         if val is None:
-            print(
-                "Validation skipped: the 95/5 split produced no validation "
-                "batches (dataset smaller than a batch)",
-                flush=True,
-            )
+            if is_main_process():
+                print(
+                    "Validation skipped: the 95/5 split produced no "
+                    "validation batches (dataset smaller than a batch)",
+                    flush=True,
+                )
         else:
             self.metrics.log_validation(self.current_step, self.start_epoch, *val)
 
@@ -645,6 +699,14 @@ class Trainer:
                     self.metrics.flush()
                     return self.current_step
             epoch += 1
+        # epoch-cap exit (reference hardcodes max_epochs=10, train.py:145):
+        # persist the tail exactly like the num_steps exit does — without
+        # this, up to save_interval-1 final steps were silently lost and
+        # a relaunch re-trained them forever. Saved epoch is max_epochs+1
+        # so a resume sees the run as COMPLETE instead of replaying the
+        # final epoch.
+        if self.current_step and self.current_step % tp.save_interval != 0:
+            self._save(tp.max_epochs + 1, 0)
         self.metrics.flush()
         return self.current_step
 
@@ -713,14 +775,19 @@ def train(args: dict | None = None, dataset=None) -> int:
         print(f"{verb} training run in '{log_dir}'.", flush=True)
     trainer = Trainer(config, log_dir, resuming, dataset=dataset)
     t0 = time.perf_counter()
-    final_step = trainer.train()
+    try:
+        final_step = trainer.train()
+    finally:
+        # close even when the loop raises: wandb runs must finalize and
+        # the jsonl handle must flush (Trainer.train already joins the
+        # async checkpoint writer on its own way out)
+        trainer.metrics.close()
     if is_main_process():
         print(
             f"Training completed at step {final_step} "
             f"({time.perf_counter() - t0:.1f}s)",
             flush=True,
         )
-    trainer.metrics.close()
     return final_step
 
 

@@ -170,12 +170,15 @@ def _apply_ondevice_masking(batch: dict, rng: jax.Array, masking_params) -> dict
 
 def _samples_with_masks(batch: dict) -> jax.Array:
     """f32 count of samples carrying ≥1 valid masked position — the
-    denominator of the reference loss semantics (ops/masked_ce.py)."""
-    valid = batch["mask_positions"]
-    in_range = (
-        jnp.arange(valid.shape[1])[None, :] < batch["lengths"][:, None]
+    denominator of the reference loss semantics, via the SAME validity
+    rule the losses use (ops/masked_ce.py::valid_positions; grad-accum
+    weighting is exact only while the two agree)."""
+    from pl_bert_tpu.ops.masked_ce import valid_positions
+
+    valid = valid_positions(
+        batch["mask_positions"], batch["lengths"],
+        batch["mask_positions"].shape[1],
     )
-    valid = valid & in_range
     return ((valid.sum(axis=1) > 0).astype(jnp.float32)).sum()
 
 

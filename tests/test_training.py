@@ -189,3 +189,34 @@ def test_warm_start_from_pretrained_model(tmp_path):
         fresh["encoder"]["embeddings"]["word_embeddings"]["embedding"]
     )
     assert not np.allclose(got_leaf, fresh_leaf)
+
+
+def test_epoch_cap_exit_saves_final_checkpoint(tmp_path):
+    """A run that ends by exhausting max_epochs (reference hardcodes 10,
+    train.py:145) must persist its tail like the num_steps exit does —
+    and a relaunch must see the run as COMPLETE, not replay the final
+    epoch."""
+    import json
+
+    # 64 samples, 95/5 split → 60 train rows → 7 batches of 8 per epoch;
+    # max_epochs=1 ends at step 7, which is NOT save_interval-aligned
+    cfg_path = _write_config(
+        tmp_path,
+        training_params={"num_steps": 1000, "max_epochs": 1},
+    )
+    corpus = make_synthetic_corpus(64, seed=0)
+    final = train(
+        {"config_path": cfg_path, "run_name": "cap"}, dataset=corpus
+    )
+    run_dir = tmp_path / "ckpt" / "cap"
+    assert (run_dir / f"step_{final}").is_dir(), "tail checkpoint missing"
+
+    # relaunch: resumes, recognizes completion, trains NOTHING new
+    again = train(
+        {"config_path": cfg_path, "run_name": "cap"}, dataset=corpus
+    )
+    assert again == final
+    records = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
+    steps = [r["step"] for r in records if "phoneme_loss" in r]
+    assert steps == sorted(set(steps)), "relaunch re-trained steps"
+    assert max(steps) == final
