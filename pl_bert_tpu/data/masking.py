@@ -41,6 +41,17 @@ class MaskingParams:
     max_seq_length: int = 512
     word_separator: int = 87  # placeholder token id emitted per phoneme
 
+    def __post_init__(self) -> None:
+        # the reference's np.random.choice(p=[pmp, rp, 1-pmp-rp]) raises
+        # on an invalid simplex (dataloader.py:85-98); the vectorized
+        # inverse-CDF here would instead silently clip replace_prob and
+        # make no_change impossible — refuse the same configs it does
+        if not 0.0 <= self.phoneme_mask_prob + self.replace_prob <= 1.0:
+            raise ValueError(
+                "phoneme_mask_prob + replace_prob must be in [0, 1], got "
+                f"{self.phoneme_mask_prob} + {self.replace_prob}"
+            )
+
 
 @dataclass
 class MaskedSample:

@@ -38,12 +38,24 @@ def main(argv=None) -> str:
 
     m = re.search(r"step_(\d+)", os.path.basename(args.checkpoint_path.rstrip("/")))
     step = int(m.group(1)) if m else 0
+    # real provenance for training_metadata.txt (the reference records
+    # checkpoint['epoch'], convert_to_hf.py:58)
+    epoch = 0
+    try:
+        from pl_bert_tpu.training.checkpoint import load_checkpoint_meta
+
+        meta = load_checkpoint_meta(args.checkpoint_path)
+        epoch = meta.get("epoch", 0)
+        step = meta.get("step", step)
+    except Exception:
+        pass  # filename-parsed step + epoch 0 (best effort)
 
     export_checkpoint(
         params,
         config.to_dict(),
         args.output_dir,
         step=step,
+        epoch=epoch,
         checkpoint_path=args.checkpoint_path,
     )
     print(f"Model successfully converted and saved to {args.output_dir}")

@@ -153,6 +153,11 @@ def hf_albert_config(model_params: dict):
         intermediate_size=int(model_params["intermediate_size"]),
         max_position_embeddings=int(model_params["max_position_embeddings"]),
         num_hidden_layers=int(model_params["num_hidden_layers"]),
+        # forward the semantically-loaded knobs too: an export of a model
+        # trained with a non-default activation or LN epsilon must not
+        # silently compute with the HF defaults downstream
+        hidden_act=str(model_params.get("hidden_act", "gelu_new")),
+        layer_norm_eps=float(model_params.get("layer_norm_eps", 1e-12)),
     )
 
 

@@ -154,11 +154,24 @@ def normalize_single(text: str, prev_text: str = "", next_text: str = "") -> str
     return text.replace("$", "")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _nltk_tokenizers():
+    """Construct once (the reference caches at module scope,
+    text_normalize.py:176): TweetTokenizer compiles its regexes at
+    construction, a per-record cost in corpus-scale loops otherwise."""
+    from nltk.tokenize import TweetTokenizer
+    from nltk.tokenize.treebank import TreebankWordDetokenizer
+
+    return TweetTokenizer(), TreebankWordDetokenizer()
+
+
 def normalize_text(text: str) -> str:
     """Normalize an English sentence by routing each token through the
     converter registry with one-token lookahead/lookbehind context."""
-    from nltk.tokenize import TweetTokenizer
-    from nltk.tokenize.treebank import TreebankWordDetokenizer
+    tokenizer, detokenizer = _nltk_tokenizers()
 
     text = (
         remove_accents(text)
@@ -169,14 +182,14 @@ def normalize_text(text: str) -> str:
         .replace(":d", ": d")
         .replace(":D", ": D")
     )
-    words = TweetTokenizer().tokenize(text)
+    words = tokenizer.tokenize(text)
     out = []
     for i, word in enumerate(words):
         prev_w = words[i - 1] if i > 0 else ""
         next_w = words[i + 1] if i + 1 < len(words) else ""
         out.append(normalize_single(word, prev_w, next_w))
     return (
-        TreebankWordDetokenizer()
+        detokenizer
         .detokenize(out)
         .replace("’ s", "'s")
         .replace(" 's", "'s")

@@ -175,6 +175,25 @@ def load_checkpoint(
     )
 
 
+def load_checkpoint_meta(path: str) -> dict:
+    """Just the ``{'step', 'epoch', ...}`` meta of a checkpoint — an
+    orbax ``step_N`` dir or a reference torch ``.pth`` (provenance for
+    export metadata; reference records epoch at convert_to_hf.py:58)."""
+    if os.path.isfile(path) and path.endswith((".pth", ".pt")):
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(ckpt, dict) and "net" in ckpt:
+            return {
+                "step": int(ckpt.get("step", 0)),
+                "epoch": int(ckpt.get("epoch", 0)),
+            }
+        return {"step": 0, "epoch": 0}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(os.path.abspath(path))
+    return {k: int(v) for k, v in raw["meta"].items()}
+
+
 def load_params_only(path: str, params_template: Any) -> Any:
     """Warm-start: restore params only, ignore optimizer state
     (reference pretrained_model semantics, train.py:274-276). Accepts
