@@ -86,5 +86,9 @@ def int8_dot_general(
         ql, qr, dimension_numbers, preferred_element_type=jnp.int32
     )
     out = acc.astype(jnp.float32) * sl * sr  # (…, N) * (…, 1) * (1, N)
+    if lhs.ndim == 1:
+        # rank-1 lhs: acc is (N,), but sr's (1, N) broadcast grew a
+        # leading dim — drop it so the result matches lax.dot_general's
+        out = out.reshape(out.shape[-1])
     out_dtype = preferred_element_type or lhs.dtype
     return out.astype(out_dtype)

@@ -52,10 +52,15 @@ def espeak_phoneme_mode(tie: bool = False) -> int:
 
 
 def strip_stress(phonemes: str) -> str:
-    """Remove IPA stress marks — the ``phonemizer`` package's
-    ``with_stress=False`` post-processing. The reference runs with
-    ``with_stress=True`` (preprocess.py:435), which keeps them."""
-    return phonemes.replace("ˈ", "").replace("ˌ", "")
+    """Remove stress marks — the ``phonemizer`` package's
+    ``with_stress=False`` post-processing (its regex strips ˈ ˌ ' and -,
+    covering espeak's occasional apostrophe/hyphen separators too). The
+    reference runs with ``with_stress=True`` (preprocess.py:435), which
+    keeps them."""
+    return (
+        phonemes.replace("ˈ", "").replace("ˌ", "")
+        .replace("'", "").replace("-", "")
+    )
 
 
 class EspeakBackend:
@@ -70,7 +75,13 @@ class EspeakBackend:
     """
 
     _ESPEAK_CHARS_UTF8 = 1
-    _AUDIO_OUTPUT_SYNCH_PLAYBACK = 2
+    # espeak_AUDIO_OUTPUT: 2 = AUDIO_OUTPUT_SYNCHRONOUS — phonemization
+    # only, no audio device (3 would be SYNCH_PLAYBACK and try to open one)
+    _AUDIO_OUTPUT_SYNCHRONOUS = 2
+    # without this option bit, espeak_Initialize exit(1)s the WHOLE
+    # process when its espeak-ng-data directory is missing, instead of
+    # returning an error our RuntimeError path can report
+    _INITIALIZE_DONT_EXIT = 0x8000
 
     def __init__(self, language: str = "ar", with_stress: bool = True) -> None:
         path = (
@@ -92,16 +103,26 @@ class EspeakBackend:
             ctypes.c_int,
         ]
         rate = self._lib.espeak_Initialize(
-            self._AUDIO_OUTPUT_SYNCH_PLAYBACK, 0, None, 0
+            self._AUDIO_OUTPUT_SYNCHRONOUS, 0, None, self._INITIALIZE_DONT_EXIT
         )
         if rate <= 0:
-            raise RuntimeError("espeak_Initialize failed")
-        if self._lib.espeak_SetVoiceByName(language.encode()) != 0:
+            raise RuntimeError(
+                "espeak_Initialize failed (espeak-ng-data missing?)"
+            )
+        self._language = language.encode()
+        if self._lib.espeak_SetVoiceByName(self._language) != 0:
             raise RuntimeError(f"espeak voice '{language}' unavailable")
         self._mode = espeak_phoneme_mode()
         self._with_stress = with_stress
 
     def phonemize_segment(self, text: str) -> str:
+        # espeak's voice is PROCESS-GLOBAL state: constructing another
+        # backend with a different language would silently retarget this
+        # one, so re-assert the voice per call (cheap vs phonemization)
+        if self._lib.espeak_SetVoiceByName(self._language) != 0:
+            raise RuntimeError(
+                f"espeak voice {self._language!r} became unavailable"
+            )
         raw = text.encode("utf-8")
         buf = ctypes.create_string_buffer(raw)
         ptr = ctypes.c_void_p(ctypes.addressof(buf))
@@ -173,6 +194,15 @@ def phonemize_text(text: str, backend: G2PBackend) -> list[str]:
     tests/test_preprocess.py::test_consecutive_punctuation_parity_flaw —
     do NOT "fix" it without breaking parity intentionally and updating
     that test.
+
+    SECOND parity flaw of the same origin — LEADING punctuation drops:
+    for tokens like ``[',', w1]`` the comma precedes any segment, no
+    boundary index matches it, and the output has one entry fewer than
+    the token list (also bit-faithful to reference preprocess.py:88-107;
+    pinned by test_leading_punctuation_parity_flaw). Both flaws mean the
+    "one entry per token" contract holds only for well-formed text;
+    consumers needing exact alignment (pipeline._tokenize_record) guard
+    with a length check rather than trusting it.
     """
     from pl_bert_tpu.text.normalize import separate_words_and_punctuation
 

@@ -79,8 +79,16 @@ def pack_batch_native(
     offsets = np.ascontiguousarray(offsets, dtype=np.int32)
     native = _load_native()
     if native is not None:
+        # the C side walks samples via the PySequence API — only coerce
+        # non-sequences; re-copying every sample per call would re-add
+        # Python-level O(total words) work to the hot loop this
+        # extension exists to remove (per-epoch re-crops pass the whole
+        # long-sample set through here)
+        batch = [
+            s if isinstance(s, (list, tuple)) else list(s) for s in samples
+        ]
         native.pack_batch(
-            [list(s) for s in samples], max_len,
+            batch, max_len,
             memoryview(labels).cast("B"),
             memoryview(words).cast("B"),
             memoryview(lengths).cast("B"),

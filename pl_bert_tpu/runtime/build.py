@@ -16,9 +16,10 @@ def native_dir() -> str:
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 
 
-# bump when the C ABI of packer.cc changes (stale .so files from earlier
-# ABIs are simply ignored and a fresh build is triggered)
-ABI_VERSION = 2
+# bump when packer.cc changes in any way that must invalidate an
+# already-built .so (ABI or behavior — stale files from earlier versions
+# are simply ignored and a fresh build is triggered)
+ABI_VERSION = 3
 
 
 def so_path() -> str:
@@ -29,16 +30,27 @@ def so_path() -> str:
 def build(verbose: bool = True) -> str:
     src = os.path.join(native_dir(), "packer.cc")
     out = so_path()
+    # compile to a private temp name and rename into place: an
+    # interrupted g++ (or two processes racing the build-on-first-import
+    # path) must never leave a truncated .so at the final path — that
+    # artifact would satisfy os.path.exists forever, fail exec_module,
+    # and silently pin every later run to the slow numpy fallback
+    tmp = f"{out}.tmp.{os.getpid()}"
     include = sysconfig.get_paths()["include"]
     cmd = [
         os.environ.get("CXX", "g++"),
         "-O3", "-shared", "-fPIC", "-std=c++17",
         f"-I{include}",
-        src, "-o", out,
+        src, "-o", tmp,
     ]
     if verbose:
         print(" ".join(cmd))
-    subprocess.run(cmd, check=True)
+    try:
+        subprocess.run(cmd, check=True)
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return out
 
 

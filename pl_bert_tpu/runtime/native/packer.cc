@@ -105,6 +105,10 @@ PyObject* PackBatch(PyObject*, PyObject* args) {
     const Py_ssize_t offset = offsets[i];
     int32_t first_word = -1;  // word-id re-base anchor for the window
     const Py_ssize_t n_words = PySequence_Size(sample);
+    if (n_words < 0) {  // __len__ raised: propagate, don't return with
+      release();        // a live pending exception (SystemError)
+      return nullptr;
+    }
     for (Py_ssize_t w = 0; w < n_words && pos < max_len; ++w) {
       PyObject* word = PySequence_GetItem(sample, w);
       if (word == nullptr || !PyUnicode_Check(word)) {

@@ -44,6 +44,11 @@ def create_word_tokenizer(
     counter: Counter[str] = Counter()
     for text in texts:
         counter.update(split(text))
+    # a corpus containing a LITERAL special token must not duplicate it
+    # in the vocab (the id map would rebind e.g. unk_token_id to the
+    # later index, orphaning the real special slots)
+    for special in SPECIAL_TOKENS:
+        counter.pop(special, None)
     vocab = SPECIAL_TOKENS + [
         w for w, _ in counter.most_common(vocab_size - len(SPECIAL_TOKENS))
     ]

@@ -350,3 +350,29 @@ def test_stage_shard_namespaces_are_private(tmp_path):
     assert all("phonemes" in r for r in records)
     # the stray dir is untouched (it belongs to whoever created it)
     assert stray.is_dir()
+
+
+def test_leading_punctuation_parity_flaw():
+    """Leading punctuation (no preceding segment) is silently dropped —
+    bit-faithful to the reference's re-interleave (reference:
+    preprocess.py:88-107), documented in phonemize_text. Pinned so a
+    future 'fix' is a deliberate parity break, not an accident."""
+    from pl_bert_tpu.preprocess.phonemize import IdentityG2P, phonemize_text
+
+    out = phonemize_text("، كلمة", IdentityG2P())
+    # 2 tokens in, 1 entry out: the leading comma vanished
+    assert out == ["كلمة"]
+
+
+def test_word_tokenizer_literal_special_tokens_not_duplicated():
+    """A corpus containing a literal '[UNK]' must not create a duplicate
+    vocab entry (the id map would rebind unk_token_id to the later
+    index, orphaning the real special slots)."""
+    from pl_bert_tpu.text.word_tokenizer import create_word_tokenizer
+
+    tok = create_word_tokenizer(
+        ["normal words here", "[UNK] appears literally", "words again"],
+        vocab_size=50,
+    )
+    assert tok.vocab.count("[UNK]") == 1
+    assert tok.unk_token_id == tok.vocab.index("[UNK]") == 0

@@ -142,3 +142,23 @@ def test_phoneme_encoder_int8_unknown_mode_raises(small_params):
             small_params, SMALL, 64, mixed_precision="fp32", quantize="int4"
         )
         bad(["abc"])
+
+
+def test_rank1_lhs_shape_matches_dot_general():
+    """A 1-D lhs (single unbatched vector through the nn.Dense pattern)
+    must return (N,) like lax.dot_general — the (1, N) weight-scale
+    broadcast used to grow a silent leading dim."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pl_bert_tpu.ops.quant import int8_dot_general
+
+    lhs = jnp.linspace(-1.0, 1.0, 8)
+    rhs = jnp.linspace(-1.0, 1.0, 32).reshape(8, 4)
+    dn = (((0,), (0,)), ((), ()))
+    exact = lax.dot_general(lhs, rhs, dn)
+    quant = int8_dot_general(lhs, rhs, dn)
+    assert quant.shape == exact.shape == (4,)
+    np.testing.assert_allclose(
+        np.asarray(quant), np.asarray(exact), atol=0.05
+    )
