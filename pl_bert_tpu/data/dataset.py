@@ -48,6 +48,14 @@ class MaskedPhonemeDataset:
     def get(self, index: int, epoch: int = 0) -> MaskedSample:
         record = self.data[index]
         token_ids = record.get("token_ids") if self.use_token_ids else None
+        if self.use_token_ids and not token_ids:
+            # fail like the reference's record['token_ids'] KeyError
+            # (dataloader.py:40) — a silent separator-fill would train
+            # the grapheme head on constant garbage labels
+            raise ValueError(
+                f"use_token_ids=True but dataset row {index} has no "
+                "token_ids — run the tokenize preprocessing stage"
+            )
         return self.masker(
             record["phonemes"], epoch=epoch, index=index, token_ids=token_ids
         )

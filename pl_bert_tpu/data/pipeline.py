@@ -63,7 +63,14 @@ class DataPipeline:
     def epoch_order(self, epoch: int) -> np.ndarray:
         if not self.shuffle:
             return self.indices
-        rng = np.random.Generator(np.random.Philox(key=self.seed, counter=[0, 0, 0, epoch]))
+        # counter word 1 is a SUBSYSTEM TAG: the masker draws from
+        # [0, 0, epoch, index] with the same key (masking.py), and
+        # [0, 0, 0, e] would be bitwise the stream that masks validation
+        # sample e at epoch 0 — tagging keeps the shuffle and masking
+        # counter spaces disjoint
+        rng = np.random.Generator(
+            np.random.Philox(key=self.seed, counter=[0, 1, 0, epoch])
+        )
         return self.indices[rng.permutation(len(self.indices))]
 
     def batches(self, epoch: int = 0, start_batch: int = 0) -> Iterator[Batch]:
@@ -110,24 +117,56 @@ _SENTINEL = object()
 
 
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
-    """Run ``iterator`` in a daemon thread, buffering ``size`` items."""
+    """Run ``iterator`` in a daemon thread, buffering ``size`` items.
+
+    Shuts the worker down when the CONSUMER stops early too (the normal
+    num_steps exit leaves this generator mid-epoch): without the stop
+    flag + drain, the worker would block in ``q.put`` for the life of
+    the process, pinning ``size+1`` already-device_put batches per
+    abandoned run."""
     q: queue.Queue = queue.Queue(maxsize=size)
     err: list[BaseException] = []
+    stop = threading.Event()
 
     def worker() -> None:
         try:
             for item in iterator:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate into consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            # same stop-aware put as the items: the sentinel must WAIT
+            # for queue space on the normal path (a put_nowait skipped
+            # on a full queue would leave the consumer blocked in
+            # q.get() forever) but give up once the consumer left
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # unblock a worker waiting on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -107,10 +107,24 @@ class AlbertConfig:
         return self.mesh is not None and int(self.mesh.size) > 1
 
 
+def _dropout_rate_seed(module: nn.Module, cfg: AlbertConfig, deterministic: bool):
+    """(rate, int32[1] seed) for in-kernel dropout; the Pallas kernels
+    regenerate the mask from the seed in backward. ONE derivation for
+    every site (attention and both LN residuals), so seed width/range
+    and the determinism condition can never drift apart."""
+    if deterministic or cfg.dropout <= 0.0:
+        return 0.0, None
+    return cfg.dropout, jax.random.randint(
+        module.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max
+    )
+
+
 def _act(name: str):
-    if name in ("gelu_new", "gelu_python"):  # HF's tanh-approximated gelu
+    if name == "gelu_new":  # HF's tanh-approximated gelu
         return lambda x: jax.nn.gelu(x, approximate=True)
-    if name == "gelu":
+    if name in ("gelu", "gelu_python"):
+        # both are the EXACT erf gelu in HF's ACT2FN (gelu_python is its
+        # pure-python spelling, NOT the tanh approximation)
         return lambda x: jax.nn.gelu(x, approximate=False)
     if name == "relu":
         return jax.nn.relu
@@ -334,14 +348,7 @@ class AlbertSelfAttention(nn.Module):
     cfg: AlbertConfig
 
     def _dropout_seed(self, deterministic: bool):
-        """(rate, seed) for in-kernel attention/residual dropout; the
-        Pallas kernels regenerate the mask from the seed in backward."""
-        cfg = self.cfg
-        if deterministic or cfg.dropout <= 0.0:
-            return 0.0, None
-        return cfg.dropout, jax.random.randint(
-            self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max
-        )
+        return _dropout_rate_seed(self, self.cfg, deterministic)
 
     @nn.compact
     def __call__(self, hidden, attention_bias, segment_ids=None, deterministic=True):
@@ -471,12 +478,7 @@ class AlbertLayer(nn.Module):
             _local_rows(cfg, B, L), H
         ):
             scale, bias_p = _LNParams(H, name="full_layer_layer_norm")()
-            rate, seed = 0.0, None
-            if not deterministic and cfg.dropout > 0.0:
-                rate = cfg.dropout
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max
-                )
+            rate, seed = _dropout_rate_seed(self, cfg, deterministic)
             return _dispatch_dropout_add_ln(
                 cfg, ffn, attn_out, scale, bias_p, seed, rate
             )
@@ -507,11 +509,12 @@ class AlbertEncoder(nn.Module):
         return hidden
 
 
-def attention_bias_from_mask(attention_mask, dtype=jnp.float32):
+def attention_bias_from_mask(attention_mask):
     """[B, L] validity mask → additive [B, 1, 1, L] bias (0 / large-neg).
 
-    Uses finfo.min like HF's extended attention mask so exported models
-    are numerically identical under partial masks.
+    Always fp32 (the kernels clamp against the fp32 _NEG): uses
+    finfo.min like HF's extended attention mask so exported models are
+    numerically identical under partial masks.
     """
     neg = jnp.finfo(jnp.float32).min
     bias = (1.0 - attention_mask.astype(jnp.float32)) * neg

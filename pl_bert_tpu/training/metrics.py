@@ -39,6 +39,7 @@ class MetricsLogger:
         self._file = None
         self._last_time = time.perf_counter()
         self._last_step = None
+        self._window_tokens = 0
         if not self.enabled:
             return
         if wandb_project:
@@ -63,6 +64,11 @@ class MetricsLogger:
         if not self.enabled:
             return
         self.rolling.append(metrics.get("phoneme_loss", metrics.get("loss", 0.0)))
+        # accumulate EVERY step's real token count: throughput must be
+        # window-total / window-time, not steps/sec × the boundary
+        # step's tokens (a ragged grad-accum tail landing on the log
+        # boundary would scale the whole window down by its fraction)
+        self._window_tokens += tokens_per_batch
         if step % self.log_interval != 0:
             # keep the newest metrics so flush() can emit the final
             # partial window at the end of training
@@ -83,9 +89,12 @@ class MetricsLogger:
         if self._last_step is not None and now > self._last_time:
             sps = (step - self._last_step) / (now - self._last_time)
             record["steps_per_sec"] = sps
-            if tokens_per_batch:
-                record["tokens_per_sec"] = sps * tokens_per_batch
+            if self._window_tokens:
+                record["tokens_per_sec"] = (
+                    self._window_tokens / (now - self._last_time)
+                )
         self._last_time, self._last_step = now, step
+        self._window_tokens = 0
         self._emit(record)
         parts = [f"step {step}", f"epoch {epoch}", f"loss {loss:.4f}"]
         if "phoneme_loss_avg" in record:
