@@ -129,9 +129,14 @@ class TrainingParams:
     grad_clip_norm: float = 0.0
 
     def __post_init__(self) -> None:
-        self.learning_rate = float(self.learning_rate)
-        self.lr_min_ratio = float(self.lr_min_ratio)
-        self.grad_clip_norm = float(self.grad_clip_norm)
+        # coerce EVERY float field: PyYAML parses dot-less scientific
+        # notation ('1e-8', '7e-5') as strings, which would otherwise
+        # reach optax and die inside the first jitted step
+        for field in (
+            "learning_rate", "lr_min_ratio", "grad_clip_norm",
+            "weight_decay", "adam_b1", "adam_b2", "adam_eps",
+        ):
+            setattr(self, field, float(getattr(self, field)))
         if self.grad_clip_norm < 0:
             raise ConfigError(
                 f"grad_clip_norm must be >= 0, got {self.grad_clip_norm}"
@@ -153,11 +158,12 @@ class TrainingParams:
             raise ConfigError(
                 f"lr_min_ratio must be in [0, 1], got {self.lr_min_ratio}"
             )
-        if self.save_interval < 1:
+        if self.save_interval < 1 or self.log_interval < 1:
             # fail HERE, not as a ZeroDivisionError after the first
             # (minutes-long on the remote TPU) compile + train step
             raise ConfigError(
-                f"save_interval must be >= 1, got {self.save_interval}"
+                f"save_interval/log_interval must be >= 1, got "
+                f"{self.save_interval}/{self.log_interval}"
             )
         if self.val_interval < 0:
             raise ConfigError(
@@ -188,6 +194,11 @@ class DatasetParams:
     sequence_packing: bool = False
 
     def __post_init__(self) -> None:
+        for field in ("word_pred_prob", "phoneme_mask_prob", "replace_prob"):
+            value = float(getattr(self, field))
+            setattr(self, field, value)
+            if not 0.0 <= value <= 1.0:
+                raise ConfigError(f"{field} must be in [0, 1], got {value}")
         if not 0.0 <= self.phoneme_mask_prob + self.replace_prob <= 1.0:
             raise ConfigError("phoneme_mask_prob + replace_prob must be in [0,1]")
 
@@ -220,6 +231,11 @@ class ModelParams:
     # memory and compute per chip. Requires max_seq_length % model_axis
     # == 0; no effect when model_axis == 1.
     sequence_parallel: bool = False
+
+    def __post_init__(self) -> None:
+        # same YAML-string-float coercion as TrainingParams
+        for f in ("dropout", "layer_norm_eps", "initializer_range"):
+            setattr(self, f, float(getattr(self, f)))
 
 
 @dataclass

@@ -69,7 +69,17 @@ def _scaled(count: int, scale_idx: int) -> str:
         return dual
     if 3 <= count <= 10:
         return f"{_under_thousand(count)} {plural}"
-    return f"{_under_thousand(count)} {singular}"
+    # the scale noun's form follows the count's FINAL units: a trailing
+    # 1/2 takes the bare noun itself (101,000 = "مائة ألف وألف", not the
+    # ungrammatical "مائة وواحد ألف"; 102,000 = "… وألفان"), a trailing
+    # 3-10 takes the plural ("مائة وثلاثة آلاف"), everything else the
+    # singular
+    rem = count % 100
+    if rem in (1, 2):
+        head = _scaled(count - rem, scale_idx)
+        return f"{head} {_AND}{singular if rem == 1 else dual}"
+    noun = plural if 3 <= rem <= 10 else singular
+    return f"{_under_thousand(count)} {noun}"
 
 
 def arabic_number_words(n: int) -> str:

@@ -124,8 +124,18 @@ def cardinal_words(token: str) -> str:
         minus = not minus
     token = _NON_DIGIT.sub("", token)
 
+    if not token:
+        # nothing numeric survived (bare dashes, malformed fragments):
+        # emit NOTHING rather than a spurious "zero"/"minus zero"
+        return suffix
     if token == "0" * len(token):
         words = ["zero"]
+    elif len(token) > 3 * (len(SCALES) + 1):
+        # beyond the largest scale word (vigintillion): digit-by-digit,
+        # the only sane verbalization for ID/hash-like digit runs —
+        # silently dropping scale words would emit nonsense like
+        # "one" for 10^66
+        words = [("zero" if d == "0" else ONES[d]) for d in token]
     else:
         words = []
         chunks = []
@@ -134,7 +144,7 @@ def cardinal_words(token: str) -> str:
             token = token[:-3]
         for depth, chunk in enumerate(chunks):
             chunk_words = _three_digit_words(chunk)
-            if depth > 0 and chunk_words and depth - 1 < len(SCALES):
+            if depth > 0 and chunk_words:
                 chunk_words.append(SCALES[depth - 1])
             words = chunk_words + words
 

@@ -615,6 +615,9 @@ class Trainer:
             loop_error = e
             raise
         finally:
+            # a profiler window still open (run ended/crashed inside it)
+            # must stop — jax writes trace files only on stop
+            self.profiler.close()
             if self.ckpt_writer is not None:
                 try:
                     self.ckpt_writer.wait()

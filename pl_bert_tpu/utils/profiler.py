@@ -46,18 +46,27 @@ class maybe_profile:
     def tick(self, step: int) -> None:
         if not self.log_dir or self._done:
             return
-        if not self._active and step >= self.start:
+        if not self._active and self.start <= step < self.start + self.steps:
+            # strictly inside the window: a resumed run whose first tick
+            # already jumped PAST it must capture nothing rather than a
+            # 1-step trace at an arbitrary step
             os.makedirs(self.log_dir, exist_ok=True)
             jax.profiler.start_trace(self.log_dir)
             self._active = True
-        elif self._active and step >= self.start + self.steps:
-            jax.profiler.stop_trace()
-            self._active = False
+        elif step >= self.start + self.steps:
             self._done = True
-            print(f"[profiler] trace written to {self.log_dir}", flush=True)
+            if self._active:
+                jax.profiler.stop_trace()
+                self._active = False
+                print(f"[profiler] trace written to {self.log_dir}", flush=True)
 
     def close(self) -> None:
+        """Stop an open window (training ended/crashed inside it) —
+        jax writes the trace files only on stop, so skipping this
+        silently discards the capture. Trainer.train() calls it on the
+        way out."""
         if self._active:
             jax.profiler.stop_trace()
             self._active = False
             self._done = True
+            print(f"[profiler] trace written to {self.log_dir}", flush=True)
