@@ -124,6 +124,28 @@ def test_interleave_differential_vs_reference():
         theirs = ref_phonemize(text, _RefBackendAdapter())
         assert ours == theirs, (text, ours, theirs)
 
+    # randomized fuzz: seeded adversarial token streams (Arabic/Latin/digit
+    # words mixed with standalone punctuation, incl. leading/trailing and
+    # consecutive punctuation). An exploratory 2000-case sweep found zero
+    # divergences; 400 committed as a regression net.
+    import random
+
+    rng = random.Random("interleave-fuzz")
+    arabic = "ابتثجحخدذرزسشصضطظعغفقكلمنهوييةء"
+    for _ in range(400):
+        toks = []
+        for _ in range(rng.randint(0, 25)):
+            if rng.random() < 0.3:
+                toks.append(rng.choice("؟،؛!?,.;:"))
+            else:
+                pool = rng.choice([arabic, "abcdefgXYZ", "0123456789"])
+                toks.append("".join(rng.choice(pool)
+                                    for _ in range(rng.randint(1, 7))))
+        text = " ".join(toks)
+        ours = phonemize_text(text, IdentityG2P())
+        theirs = ref_phonemize(text, _RefBackendAdapter())
+        assert ours == theirs, (text, ours, theirs)
+
 
 def test_diacritize_text_reassembly():
     out = diacritize_text("مرحبا، كيف حالك؟", IdentityDiacritizer())
