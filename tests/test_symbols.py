@@ -55,3 +55,39 @@ def test_character_indexer_callable_matches_encode():
 def test_empty_string():
     out = encode("")
     assert isinstance(out, np.ndarray) and out.shape == (0,)
+
+
+# --- differential vs the actual reference table (gated on the checkout) ---
+
+import os
+import random
+import sys
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference checkout absent"
+)
+def test_differential_vs_reference_char_indexer():
+    """Every id the reference CharacterIndexer produces — over its whole
+    vocab and 4000 random unicode chars (OOV fallback included) — must
+    match ours bit for bit (reference: char_indexer.py:19-25)."""
+    sys.path.insert(0, "/root/reference")
+    try:
+        from char_indexer import CharacterIndexer as RefIndexer
+        from char_indexer import symbols as ref_symbols
+    finally:
+        sys.path.remove("/root/reference")
+
+    assert list(symbols) == list(ref_symbols)
+    ref = RefIndexer()
+    mine = CharacterIndexer()
+
+    vocab_text = "".join(ref_symbols)
+    assert mine(vocab_text) == ref(vocab_text)
+
+    rng = random.Random("indexer-fuzz")
+    chars = [chr(rng.randint(1, 0x2FFF)) for _ in range(4000)]
+    text = "".join(chars)
+    assert mine(text) == ref(text)

@@ -35,3 +35,73 @@ def test_crop_is_random_but_seeded():
     a = TruncatedTextDataset(_records(text), max_seq_length=100, seed=1)[0]["text"]
     ds_b = TruncatedTextDataset(_records(text), max_seq_length=100, seed=1)
     assert ds_b[0]["text"] == a  # same seed, same crop
+
+
+# --- differential vs the actual reference crop logic (gated) ---
+
+import os
+import sys
+import random
+
+import numpy as np
+import pytest
+
+
+class _ForcedRNG:
+    """Stands in for the dataset's Philox generator, returning a forced
+    crop start so the deterministic boundary-snapping logic can be
+    compared against the reference's under the same start."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def integers(self, lo, hi):
+        return int(min(max(self.value, lo), hi - 1))
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference checkout absent"
+)
+def test_differential_crop_vs_reference(monkeypatch):
+    """With the same forced random start, the sentence-boundary snap-back
+    and forward-extension must produce the identical crop as the
+    reference's _truncate_text_if_needed (reference: dataloader.py:165-196)."""
+    sys.path.insert(0, "/root/reference")
+    try:
+        from dataloader import TruncatedTextDataset as RefDS
+    finally:
+        sys.path.remove("/root/reference")
+
+    rng = random.Random("crop-fuzz")
+    arabic = "ابتثجحخدذرزسشصضطظعغفقكلمنهويية"
+
+    def rand_article():
+        parts = []
+        for _ in range(rng.randint(5, 40)):
+            w = " ".join(
+                "".join(rng.choice(arabic) for _ in range(rng.randint(1, 8)))
+                for _ in range(rng.randint(1, 12))
+            )
+            parts.append(w + rng.choice([".", "؟", "!", "،", " ", ""]))
+        return " ".join(parts)
+
+    max_len = 256
+    for _ in range(200):
+        text = rand_article()
+        if len(text) <= max_len:
+            continue
+        forced = rng.randint(0, len(text) - 1)
+
+        recs = [{"id": "1", "url": "u", "title": "t", "text": text}]
+        ref_ds = RefDS(recs, max_seq_length=max_len)
+        monkeypatch.setattr(
+            np.random, "randint",
+            lambda lo, hi: int(min(max(forced, lo), hi - 1)),
+        )
+        theirs = ref_ds[0]["text"]
+        monkeypatch.undo()
+
+        ds = TruncatedTextDataset(recs, max_seq_length=max_len)
+        ds._rng = _ForcedRNG(forced)
+        ours = ds[0]["text"]
+        assert ours == theirs, (forced, len(text), ours[:50], theirs[:50])
