@@ -96,9 +96,19 @@ def test_multitask_two_heads():
     assert tok.shape == (1, 64, 100)
 
 
-def test_hf_numeric_parity():
+@pytest.mark.parametrize(
+    "shape",
+    [
+        # (hidden, heads, ffn, emb, layers, maxpos, vocab)
+        (96, 4, 192, 48, 4, 64, 188),    # factorized (flagship-style)
+        (128, 8, 256, 128, 2, 48, 188),  # emb == hidden (projection still present)
+        (64, 2, 320, 32, 5, 96, 97),     # odd vocab, tall-FFN, many layers
+    ],
+)
+def test_hf_numeric_parity(shape):
     """last_hidden_state parity with transformers.AlbertModel on identical
-    weights/inputs (the BASELINE.json export gate)."""
+    weights/inputs (the BASELINE.json export gate), across head/width/
+    factorization variations."""
     torch = pytest.importorskip("torch")
     from transformers import AlbertConfig as HFConfig
     from transformers import AlbertModel as HFAlbert
@@ -106,21 +116,22 @@ def test_hf_numeric_parity():
     from pl_bert_tpu.export.to_hf import hf_state_dict_to_flax_encoder
     from pl_bert_tpu.models.albert import AlbertModel as FlaxAlbert
 
+    hidden, heads, ffn, emb, layers, maxpos, vocab = shape
     mp = ModelParams(
-        hidden_size=96,
-        num_attention_heads=4,
-        intermediate_size=192,
-        max_position_embeddings=64,
-        num_hidden_layers=4,
-        embedding_size=48,
-        vocab_size=188,
+        hidden_size=hidden,
+        num_attention_heads=heads,
+        intermediate_size=ffn,
+        max_position_embeddings=maxpos,
+        num_hidden_layers=layers,
+        embedding_size=emb,
+        vocab_size=vocab,
         dropout=0.0,
         attention_impl="xla",
     )
     hf_cfg = HFConfig(
-        vocab_size=188, embedding_size=48, hidden_size=96,
-        num_attention_heads=4, intermediate_size=192,
-        max_position_embeddings=64, num_hidden_layers=4,
+        vocab_size=vocab, embedding_size=emb, hidden_size=hidden,
+        num_attention_heads=heads, intermediate_size=ffn,
+        max_position_embeddings=maxpos, num_hidden_layers=layers,
         attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
     )
     torch.manual_seed(0)
@@ -130,9 +141,9 @@ def test_hf_numeric_parity():
     encoder_params = hf_state_dict_to_flax_encoder(hf_model.state_dict())
 
     rng = np.random.default_rng(1)
-    ids = rng.integers(0, 188, size=(3, 64)).astype(np.int32)
-    mask = np.ones((3, 64), np.int32)
-    mask[1, 50:] = 0  # one padded row
+    ids = rng.integers(0, vocab, size=(3, maxpos)).astype(np.int32)
+    mask = np.ones((3, maxpos), np.int32)
+    mask[1, maxpos - 14:] = 0  # one padded row
 
     with torch.no_grad():
         hf_out = hf_model(
