@@ -347,3 +347,43 @@ def test_shard_seed_offsets_unique_across_mesh():
     # data shards distinct
     assert (ln[:, 0] == ln[:, 1]).all()
     assert len(np.unique(ln[:, 0])) == 4
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+def test_model_axis_4_with_sp_matches_model_axis_1(tmp_path):
+    """TP generality past the usual 2-way split: data 2 × model 4 with
+    sequence parallelism AND the vocab-sharded multitask head (1 head,
+    32 FFN columns, 32 vocab rows per shard) must reproduce the pure-DP
+    trajectory step for step."""
+    import dataclasses
+
+    from pl_bert_tpu.training.train import Trainer
+
+    losses = {}
+    for model_axis in (1, 4):
+        cfg = _train_config(tmp_path, model_axis)
+        cfg = dataclasses.replace(
+            cfg,
+            model_params=dataclasses.replace(
+                cfg.model_params,
+                num_token_vocab=128,
+                sequence_parallel=model_axis > 1,
+            ),
+        )
+        trainer = Trainer(
+            cfg, str(tmp_path / f"run_m4sp_{model_axis}"), False
+        )
+        per_step = []
+        for i, batch in enumerate(trainer._train_batches(epoch=1)):
+            trainer.state, m = trainer.train_step(
+                trainer.state, trainer._put(batch), trainer.base_rng
+            )
+            per_step.append((float(m["loss"]), float(m["token_loss"])))
+            if i == 2:
+                break
+        losses[model_axis] = per_step
+    np.testing.assert_allclose(
+        np.asarray(losses[4]), np.asarray(losses[1]), rtol=5e-5, atol=5e-6
+    )
