@@ -52,6 +52,21 @@ class PreprocessParams:
     g2p_backend: str = "espeak"  # espeak | identity (test fallback)
     with_stress: bool = True
     preserve_punctuation: bool = True
+    # Clean-stage normalization language. "ar" reproduces the reference's
+    # live path exactly (numbers→Arabic words, Arabic-only filter —
+    # reference: preprocess.py:18-30). "en" routes through the English
+    # converter registry (normalize.py::normalize_text — upstream
+    # PL-BERT's language; DEAD code in the reference at
+    # text_normalize.py:282, implemented working here) with no
+    # script filter.
+    clean_language: str = "ar"
+
+    def __post_init__(self) -> None:
+        if self.clean_language not in ("ar", "en"):
+            raise ConfigError(
+                f"preprocess_params.clean_language must be 'ar' or 'en', "
+                f"got {self.clean_language!r}"
+            )
 
 
 @dataclass

@@ -44,6 +44,20 @@ def standardize_text(text: str) -> str:
     return clean_text(text)
 
 
+def standardize_text_english(text: str) -> str:
+    """English clean stage (clean_language: en): the converter-registry
+    router verbalizes number-shaped tokens (cardinals, decimals, times,
+    dates, ordinals, fractions, URLs — the reference router's exact
+    shape set), then the same unicode cleanup. Upstream PL-BERT's
+    language; the reference carries this router as DEAD code
+    (text_normalize.py:282 NameError) — here it works
+    (normalize.py::normalize_text). No script filter: English corpora
+    keep their punctuation and casing for the phonemizer."""
+    from pl_bert_tpu.text.normalize import normalize_text
+
+    return clean_text(normalize_text(text))
+
+
 def load_source_dataset(cfg, local_path: str | None = None):
     if local_path:
         if os.path.isdir(local_path):
@@ -85,12 +99,17 @@ def _finish_stage(shard_root: str) -> None:
 def main_clean(config: Config, local_dataset_path: str | None = None) -> str:
     pp = config.preprocess_params
     dataset = load_source_dataset(pp, local_dataset_path)
-    print(f"Cleaning {len(dataset)} samples")
+    print(f"Cleaning {len(dataset)} samples ({pp.clean_language})")
+    clean_fn = (
+        standardize_text_english
+        if pp.clean_language == "en"
+        else standardize_text
+    )
     shard_root = _stage_shard_root(pp.preprocess_dir, pp.cleaned_output_dir)
     out = process_dataset(
         dataset=dataset,
         root_directory=shard_root,
-        process_fn=standardize_text,
+        process_fn=clean_fn,
         output_dir=os.path.abspath(
             os.path.join(pp.preprocess_dir, pp.cleaned_output_dir)
         ),

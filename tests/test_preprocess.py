@@ -398,3 +398,52 @@ def test_word_tokenizer_literal_special_tokens_not_duplicated():
     )
     assert tok.vocab.count("[UNK]") == 1
     assert tok.unk_token_id == tok.vocab.index("[UNK]") == 0
+
+
+def test_english_clean_stage(tmp_path):
+    """clean_language: en routes the clean stage through the WORKING
+    English converter router (dead in the reference,
+    text_normalize.py:282) — numbers/dates verbalized, unicode cleanup
+    applied, no Arabic-only filter."""
+    from pl_bert_tpu.config import Config
+    from pl_bert_tpu.preprocess.pipeline import main_clean
+
+    base = tmp_path / "prep"
+    base.mkdir()
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text(
+        "The meeting is at 12:10 AM on 23 Jan 2020.\n"
+        "It costs $1.56 and weighs 3 kg.\x07\n",
+        encoding="utf-8",
+    )
+    config = Config.from_dict({
+        "preprocess_params": {
+            "num_shards": 2, "max_workers": 2, "max_try_count": 1,
+            "timeout": 60, "clean_language": "en",
+            "preprocess_dir": str(base),
+            "cleaned_output_dir": "en.cleaned",
+        },
+    })
+    out = main_clean(config, str(corpus))
+    records = load_processed_dataset(out)
+    assert len(records) == 2
+    texts = {r["id"]: r["text"] for r in records}
+    assert "twelve ten" in texts["0"].lower()
+    assert "twenty twenty" in texts["0"].lower()
+    assert not any(ch.isdigit() for ch in texts["0"])
+    # router-faithful quirks (same shapes as the reference's dead router):
+    # the tweet tokenizer splits '$' off '1.56', so the amount routes as
+    # DECIMAL and the lone '$' is dropped; bare unit words pass through
+    assert "one point five six" in texts["1"].lower()
+    assert "$" not in texts["1"]
+    assert "three kg" in texts["1"].lower()
+    assert "\x07" not in texts["1"]  # clean_text still applied
+
+
+def test_clean_language_validated():
+    from pl_bert_tpu.config import Config, ConfigError
+
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigError):
+        Config.from_dict({"preprocess_params": {"clean_language": "fr"}})
