@@ -48,3 +48,36 @@ def test_defaults_match_reference():
         0.8,
         0.1,
     )
+
+
+import os as _os
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.path.isdir("/root/reference"), reason="reference checkout absent"
+)
+def test_reference_config_loads_verbatim():
+    """A migrating user's unmodified reference configs/config.yml must
+    load through the schema as-is: every key known, reference-compat
+    keys (num_process, fp16) accepted, values landing where the
+    reference put them (fp16 maps to bf16 at build time — the TPU
+    substitution, models/albert.py::build_model)."""
+    cfg = Config.load("/root/reference/configs/config.yml")
+    assert cfg.training_params.batch_size == 96
+    assert cfg.training_params.num_steps == 1_000_000
+    assert cfg.training_params.learning_rate == 7e-5
+    assert cfg.training_params.mixed_precision == "fp16"
+    assert cfg.dataset_params.word_separator == 87
+    assert cfg.dataset_params.max_seq_length == 512
+    assert cfg.model_params.hidden_size == 768
+    assert cfg.model_params.pretrained_model.endswith("step_116000.pth")
+    assert cfg.preprocess_params.num_shards == 10000
+
+    import jax.numpy as jnp
+
+    from pl_bert_tpu.models.albert import build_model
+
+    model = build_model(cfg.model_params, cfg.training_params.mixed_precision)
+    assert model.cfg.dtype == jnp.bfloat16
