@@ -16,6 +16,7 @@ Numerics: accumulation and LN statistics in fp32; inputs/outputs bf16
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +33,23 @@ def _block_rows(H: int) -> int:
     small factors) are divisible by 128/64 but NOT by the 168/200-style
     blocks a proportional rule would give at non-power-of-two widths,
     which would silently disable the kernel exactly where it was meant
-    to work."""
+    to work.
+
+    PLBERT_LN_BLOCK_ROWS overrides the policy (power of two ≥ 8) so a
+    winner from the on-chip sweep (tools/bench_fused_ln.py) can be
+    adopted without a code edit; dispatch (fused_supported) and both
+    kernels read the same value, so divisibility gating stays
+    consistent. Note the dropout stream is seeded per grid block
+    (seed + program_id), so changing the block size changes which
+    mask a given row draws — a different but equally valid stream."""
+    override = os.environ.get("PLBERT_LN_BLOCK_ROWS")
+    if override:
+        rows = int(override)
+        if rows < 8 or rows & (rows - 1):
+            raise ValueError(
+                f"PLBERT_LN_BLOCK_ROWS must be a power of two >= 8, got {override!r}"
+            )
+        return rows
     rows = 256
     while rows > 8 and rows * H > 256 * 1024:
         rows //= 2

@@ -89,6 +89,34 @@ def test_block_rows_divide_realistic_row_counts():
     assert _block_rows(2048) == 128  # the measured VMEM bound
 
 
+def test_block_rows_env_override(monkeypatch):
+    """PLBERT_LN_BLOCK_ROWS adopts an on-chip sweep winner without a
+    code edit: the override must flow through both dispatch and the
+    kernels, preserve numeric parity at non-default block sizes, and
+    reject values that would mis-tile (non-power-of-two)."""
+    from pl_bert_tpu.ops.fused_ln import _block_rows
+
+    x, res, gamma, beta = _inputs(seed=3)
+    ref = _reference(x, res, gamma, beta)
+    for rows in (64, 128):
+        monkeypatch.setenv("PLBERT_LN_BLOCK_ROWS", str(rows))
+        assert _block_rows(H) == rows
+        with pltpu.force_tpu_interpret_mode():
+            out = dropout_add_layernorm(x, res, gamma, beta)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+        )
+
+    import pytest
+
+    for bad in ("100", "4"):
+        monkeypatch.setenv("PLBERT_LN_BLOCK_ROWS", bad)
+        with pytest.raises(ValueError, match="power of two"):
+            _block_rows(H)
+    monkeypatch.delenv("PLBERT_LN_BLOCK_ROWS")
+    assert _block_rows(768) == 256  # default policy restored
+
+
 def test_ragged_row_count_rejected_loudly():
     """The grid floor-divides the row count: a ragged tail block would
     come back UNINITIALIZED (silent NaNs — empirically confirmed on
