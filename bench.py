@@ -743,6 +743,81 @@ def main(argv: list[str]) -> None:
     run_default(config, mesh, gate_floor)
 
 
+_PROBE_CODE = (
+    "import jax; d = jax.devices(); print(d[0].platform, len(d), flush=True)"
+)
+
+
+def _probe_backend(timeout_s: float, code: str = _PROBE_CODE) -> bool:
+    """Bounded subprocess check that the jax backend comes up at all.
+
+    When the axon tunnel is down, ``jax.devices()`` HANGS instead of
+    raising (CLAUDE.md) — an in-process first touch would therefore
+    hang the whole bench forever. Probing in a killable child turns
+    that hang into a clean False within ``timeout_s``.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    if proc.returncode != 0:
+        # a fast failure (not a hang) — surface the child's reason; the
+        # in-process run would hit the same error and retry-path it
+        print(proc.stderr.strip()[-2000:], file=sys.stderr, flush=True)
+        return False
+    return True
+
+
+def _arm_watchdog(
+    deadline_s: float, argv: list[str], attempt: int, max_attempts: int
+):
+    """Daemon timer that aborts a hung measurement after ``deadline_s``.
+
+    Covers the probe's blind spot: the tunnel was up at probe time but
+    died mid-run, leaving the main thread stuck in a remote call that
+    never raises. On fire it prints the abort marker (so line-parsers
+    discard partial progressive-mode rows), then re-execs ONE final
+    attempt (``attempt -> max_attempts``) or exits nonzero — never
+    hangs the driver's round-end bench.
+    """
+    import threading
+
+    def _fire():
+        print(
+            json.dumps(
+                {"bench_attempt_aborted": attempt, "reason": "watchdog"}
+            ),
+            flush=True,
+        )
+        print(
+            f"bench watchdog: attempt {attempt} made no progress within "
+            f"{deadline_s:.0f}s (tunnel died mid-run?); "
+            + ("re-exec for one final attempt" if attempt < max_attempts
+               else "giving up"),
+            file=sys.stderr, flush=True,
+        )
+        if attempt < max_attempts:
+            os.environ["PLBERT_BENCH_ATTEMPT"] = str(max_attempts)
+            try:
+                os.execv(
+                    sys.executable,
+                    [sys.executable, os.path.abspath(__file__), *argv],
+                )
+            except OSError:
+                pass
+        os._exit(1)
+
+    timer = threading.Timer(deadline_s, _fire)
+    timer.daemon = True
+    timer.start()
+    return timer
+
+
 def _run_with_retry(argv: list[str]) -> None:
     """Run main(); on failure in a device-requiring mode, re-exec this
     process (bounded attempts) instead of dying.
@@ -753,19 +828,47 @@ def _run_with_retry(argv: list[str]) -> None:
     reused in-process, so retry = fresh exec. Every failure's full
     traceback still goes to stderr (nothing is masked), and a real bug
     fails all attempts and exits nonzero exactly as before.
+
+    Hang insurance (a down tunnel hangs rather than raising): a bounded
+    subprocess probe runs before any in-process device touch
+    (PLBERT_BENCH_PROBE_TIMEOUT_S, default 180, 0 disables), and a
+    watchdog deadline bounds the measurement itself
+    (PLBERT_BENCH_DEADLINE_S, default 2400, 0 disables). Probe failures
+    ride the same bounded re-exec/backoff path as exceptions, so the
+    worst case is a ~20-minute nonzero exit — never an infinite hang.
     """
     host_only = {"--preprocess", "--store"}
     attempt = int(os.environ.get("PLBERT_BENCH_ATTEMPT", "1"))
     max_attempts = int(os.environ.get("PLBERT_BENCH_MAX_ATTEMPTS", "4"))
+    device_mode = not (set(argv) & host_only)
+    watchdog = None
     try:
+        if device_mode:
+            probe_timeout = float(
+                os.environ.get("PLBERT_BENCH_PROBE_TIMEOUT_S", "180")
+            )
+            if probe_timeout > 0 and not _probe_backend(probe_timeout):
+                raise RuntimeError(
+                    f"jax backend did not come up within {probe_timeout:.0f}s"
+                    " (axon tunnel down?) — probed in a subprocess because"
+                    " an in-process jax.devices() would hang, not raise"
+                )
+            deadline = float(
+                os.environ.get("PLBERT_BENCH_DEADLINE_S", "2400")
+            )
+            if deadline > 0:
+                watchdog = _arm_watchdog(deadline, argv, attempt, max_attempts)
         main(argv)
+        if watchdog is not None:
+            watchdog.cancel()
     except (SystemExit, KeyboardInterrupt):
         raise
     except BaseException:
         import traceback
 
+        if watchdog is not None:
+            watchdog.cancel()  # don't let it fire during the backoff sleep
         traceback.print_exc()
-        device_mode = not (set(argv) & host_only)
         if not device_mode or attempt >= max_attempts:
             raise
         # progressive modes (--scale, --accum, --gate) may already have
