@@ -9,6 +9,8 @@ irregular hundreds series, and dual/plural scale nouns (ألف/ألفان/آلا
 
 from __future__ import annotations
 
+import functools
+
 _ONES = [
     "صفر", "واحد", "اثنان", "ثلاثة", "أربعة", "خمسة",
     "ستة", "سبعة", "ثمانية", "تسعة",
@@ -82,8 +84,13 @@ def _scaled(count: int, scale_idx: int) -> str:
     return f"{_under_thousand(count)} {noun}"
 
 
+@functools.lru_cache(maxsize=16384)
 def arabic_number_words(n: int) -> str:
-    """Integer → MSA cardinal words ("125" → "مائة وخمسة وعشرون")."""
+    """Integer → MSA cardinal words ("125" → "مائة وخمسة وعشرون").
+
+    Pure int→str, memoized: corpus number distributions are heavy-tailed
+    (years, small counts repeat), so the clean stage mostly cache-hits.
+    """
     if n == 0:
         return _ONES[0]
     negative = n < 0

@@ -86,3 +86,42 @@ def test_normalize_text_english():
     assert "twenty twenty" in out
     assert "twelve ten" in out
     assert not any(c.isdigit() for c in out)
+
+
+def _convert_numbers_longest_first(text: str) -> str:
+    """Oracle: the pre-optimization algorithm (and the reference's shape,
+    text_normalize.py:112-134) — distinct digit runs, longest first, each
+    globally substituted with digit-boundary anchors."""
+    import re
+
+    numbers = sorted(set(re.findall(r"\d+", text)), key=len, reverse=True)
+    for num in numbers:
+        try:
+            words = arabic_number_words(int(num))
+        except (ValueError, NotImplementedError):
+            continue
+        text = re.sub(rf"(?<!\d){re.escape(num)}(?!\d)", words, text)
+    return text
+
+
+def test_convert_numbers_single_pass_equivalence():
+    """The single-pass \\d+ callback must match the longest-first anchored
+    substitution on randomized digit-heavy text: repeated runs, leading
+    zeros, runs adjacent to letters, Arabic-Indic digits (\\d matches
+    them and int() parses them), and huge runs the engine refuses
+    (NotImplementedError keeps the digits)."""
+    import random
+
+    rng = random.Random(0xA11CE)
+    pieces = [
+        "19", "1986", "007", "٥", "٩٨", "1٥", "0", "25",
+        "1" * 40,  # beyond the engine's scales -> kept as digits
+        "كان", "عام", "abc", "x", "،", " ", "  ", "-", ".",
+    ]
+    for _ in range(400):
+        text = "".join(
+            rng.choice(pieces) for _ in range(rng.randint(0, 30))
+        )
+        assert convert_numbers_to_arabic_words(text) == (
+            _convert_numbers_longest_first(text)
+        ), repr(text)
