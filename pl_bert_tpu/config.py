@@ -142,6 +142,14 @@ class TrainingParams:
     # the default reproduces its update exactly. The per-step norm is
     # already reported as the ``grad_norm`` metric either way.
     grad_clip_norm: float = 0.0
+    # TPU build extension (multi-task only): compute the 60k grapheme
+    # head's masked CE with forward-computed gradients
+    # (ops/masked_ce.py::masked_lm_loss_fused) — one fewer pass of the
+    # dominant [rows,H]x[H,V] matmul per step than the remat'd chunked
+    # scan. Loss values are bitwise-identical to the default path;
+    # gradients agree to compute-dtype rounding (the update trajectory
+    # is NOT bitwise, hence opt-in).
+    fused_lm_head: bool = False
 
     def __post_init__(self) -> None:
         # coerce EVERY float field: PyYAML parses dot-less scientific

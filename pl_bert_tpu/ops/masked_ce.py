@@ -16,8 +16,11 @@ token-count mean — SURVEY §7 hard part 2).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def valid_positions(
@@ -125,6 +128,143 @@ def masked_lm_loss_chunked(
     return jnp.where(n_with_mask > 0, total / jnp.maximum(n_with_mask, 1.0), 0.0)
 
 
+def masked_lm_loss_fused(
+    hidden: jax.Array,  # [B, L, H] compute dtype (bf16/f32)
+    kernel: jax.Array,  # [H, V] head weight (fp32 master)
+    bias: jax.Array,  # [V]
+    labels: jax.Array,  # i32 [B, L]
+    mask_positions: jax.Array,  # bool [B, L]
+    lengths: jax.Array | None = None,
+    chunk_size: int = 64,
+) -> jax.Array:
+    """``masked_lm_loss_chunked`` with forward-computed gradients — one
+    fewer [rows,H]x[H,V] matmul pass per step against the 60k head.
+
+    The loss is terminal and linear in per-position NLL, so every
+    position's logit cotangent is known during the forward pass up to
+    the scalar loss cotangent:
+
+        d loss / d logits[b,l,:] = w[b,l] * (softmax(logits) - onehot)
+        w[b,l] = valid[b,l] / (count_b * n_samples_with_mask)
+
+    (w is computable from the mask planes BEFORE any projection). The
+    remat'd chunked path runs FOUR passes of the dominant matmul per
+    step — forward logits, backward logit recompute (jax.checkpoint,
+    without which XLA saves ~25 GB of per-chunk logits for the scan
+    backward), dX, and dW. This op computes dX/dW/db inside the forward
+    scan (THREE passes) and its custom-VJP backward is a pure scaling by
+    the loss cotangent — no recompute, no saved logits. Gradients match
+    autodiff of the chunked path to dtype rounding (the grad matmuls run
+    in the compute dtype with fp32 accumulation, where the chunked scan
+    accumulates dW across chunks in the compute dtype); the loss VALUE
+    is accumulated with the chunked path's exact per-sample order.
+
+    A primal-only call (no differentiation, e.g. eval) lowers to
+    ``masked_lm_loss_chunked`` — the gradient work is never done unless
+    the step is differentiated.
+    """
+    L = hidden.shape[1]
+    if L % chunk_size:
+        chunk_size = min(chunk_size, L)
+        while L % chunk_size:
+            chunk_size -= 1
+
+    valid = valid_positions(mask_positions, lengths, L)
+    counts = valid.sum(axis=1).astype(jnp.float32)
+    n_with_mask = (counts > 0).astype(jnp.float32).sum()
+    # per-position loss weight: d loss / d nll[b, l]
+    w_pos = valid.astype(jnp.float32) / (
+        jnp.maximum(counts, 1.0)[:, None] * jnp.maximum(n_with_mask, 1.0)
+    )
+    return _fused_core(hidden, kernel, bias, labels, valid, w_pos, chunk_size)
+
+
+def _fused_fwd_impl(hidden, kernel, bias, labels, valid, w_pos, chunk_size):
+    B, L, H = hidden.shape
+    V = kernel.shape[1]
+    n = L // chunk_size
+    cdt = hidden.dtype
+    k_c = kernel.astype(cdt)
+    b_c = bias.astype(cdt)
+    h_chunks = hidden.reshape(B, n, chunk_size, H).transpose(1, 0, 2, 3)
+    lab_chunks = labels.reshape(B, n, chunk_size).transpose(1, 0, 2)
+    val_chunks = valid.reshape(B, n, chunk_size).transpose(1, 0, 2)
+    w_chunks = w_pos.reshape(B, n, chunk_size).transpose(1, 0, 2)
+
+    def body(carry, xs):
+        sums, dk, db = carry
+        h_c, lab_c, val_c, w_c = xs
+        logits = (jnp.dot(h_c, k_c) + b_c).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, lab_c[..., None], axis=-1)[..., 0]
+        sums = sums + (nll * val_c.astype(jnp.float32)).sum(axis=1)
+        dlogits = (
+            jnp.exp(logp) - jax.nn.one_hot(lab_c, V, dtype=jnp.float32)
+        ) * w_c[..., None]
+        dl_c = dlogits.astype(cdt)
+        dh_c = jnp.dot(dl_c, k_c.T)
+        dk = dk + jnp.dot(
+            h_c.reshape(-1, H).T, dl_c.reshape(-1, V),
+            preferred_element_type=jnp.float32,
+        )
+        db = db + dlogits.sum(axis=(0, 1))
+        return (sums, dk, db), dh_c
+
+    init = (
+        jnp.zeros((B,), jnp.float32),
+        jnp.zeros((H, V), jnp.float32),
+        jnp.zeros((V,), jnp.float32),
+    )
+    (sums, dk, db), dh_chunks = jax.lax.scan(
+        body, init, (h_chunks, lab_chunks, val_chunks, w_chunks)
+    )
+    dh = dh_chunks.transpose(1, 0, 2, 3).reshape(B, L, H)
+    # final averaging in the chunked path's exact order/formula so the
+    # VALUE is bitwise-comparable to masked_lm_loss_chunked
+    counts = valid.sum(axis=1).astype(jnp.float32)
+    has_mask = counts > 0
+    n_with_mask = has_mask.astype(jnp.float32).sum()
+    per_sample_mean = sums / jnp.maximum(counts, 1.0)
+    total = jnp.where(has_mask, per_sample_mean, 0.0).sum()
+    loss = jnp.where(
+        n_with_mask > 0, total / jnp.maximum(n_with_mask, 1.0), 0.0
+    )
+    return loss, (dh, dk.astype(kernel.dtype), db.astype(bias.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused_core(hidden, kernel, bias, labels, valid, w_pos, chunk_size):
+    # primal-only (never differentiated) lowering: the plain chunked
+    # loss — no gradient work unless the caller differentiates
+    return masked_lm_loss_chunked(
+        hidden, kernel, bias, labels, valid, None, chunk_size
+    )
+
+
+def _fused_core_fwd(hidden, kernel, bias, labels, valid, w_pos, chunk_size):
+    loss, grads = _fused_fwd_impl(
+        hidden, kernel, bias, labels, valid, w_pos, chunk_size
+    )
+    return loss, grads
+
+
+def _fused_core_bwd(chunk_size, res, g):
+    dh, dk, db = res  # dh carries hidden's dtype and [B, L] leading shape
+    float0 = jax.dtypes.float0
+    bl = dh.shape[:2]
+    return (
+        (g.astype(jnp.float32) * dh.astype(jnp.float32)).astype(dh.dtype),
+        g.astype(dk.dtype) * dk,
+        g.astype(db.dtype) * db,
+        np.zeros(bl, float0),  # labels: int, no tangent
+        np.zeros(bl, float0),  # valid: bool, no tangent
+        jnp.zeros(bl, jnp.float32),  # w_pos: no gradient flows back
+    )
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
 def masked_lm_loss(
     hidden: jax.Array,  # [B, L, H]
     kernel: jax.Array,  # [H, V]
@@ -134,6 +274,7 @@ def masked_lm_loss(
     lengths: jax.Array | None = None,
     capacity: int = 192,
     chunk_size: int = 64,
+    fused: bool = False,
 ) -> jax.Array:
     """Large-vocab masked CE that projects ONLY the masked positions.
 
@@ -151,8 +292,9 @@ def masked_lm_loss(
     the exact full-length chunked path for that batch.
     """
     B, L, H = hidden.shape
+    inner = masked_lm_loss_fused if fused else masked_lm_loss_chunked
     if capacity >= L:
-        return masked_lm_loss_chunked(
+        return inner(
             hidden, kernel, bias, labels, mask_positions, lengths, chunk_size
         )
 
@@ -166,13 +308,13 @@ def masked_lm_loss(
         h_g = jnp.take_along_axis(hidden, idx[..., None], axis=1)
         lab_g = jnp.take_along_axis(labels, idx, axis=1)
         val_g = jnp.take_along_axis(valid, idx, axis=1)
-        return masked_lm_loss_chunked(
+        return inner(
             h_g, kernel, bias, lab_g, val_g, None,
             min(chunk_size, capacity),
         )
 
     def full(_):
-        return masked_lm_loss_chunked(
+        return inner(
             hidden, kernel, bias, labels, valid, None, chunk_size
         )
 

@@ -98,7 +98,7 @@ def make_optimizer(tp: TrainingParams) -> optax.GradientTransformation:
 
 def _forward_loss(
     model, params, batch, rngs, deterministic, use_token_ids,
-    compute_token_loss=True,
+    compute_token_loss=True, fused_lm_head=False,
 ):
     """``compute_token_loss=False`` (eval) skips the grapheme head: the
     model returns hidden unused, so XLA dead-code-eliminates the 60k
@@ -132,6 +132,7 @@ def _forward_loss(
         loss_t = masked_lm_loss(
             hidden, head["kernel"], head["bias"], batch["token_ids"],
             batch["mask_positions"], batch["lengths"],
+            fused=fused_lm_head,
         )
         return loss_p + loss_t, (phoneme_logits, loss_p, loss_t)
     out = model.apply(
@@ -191,6 +192,7 @@ def make_train_step(
     grad_accum: int = 1,
     lr_schedule=None,
     opt_shardings=None,
+    fused_lm_head: bool = False,
 ):
     """Build the jitted (state, batch, rng) → (state, metrics) step.
 
@@ -231,7 +233,8 @@ def make_train_step(
 
         def loss_fn(params):
             loss, (_, loss_p, loss_t) = _forward_loss(
-                model, params, mb, {"dropout": mrng}, False, use_token_ids
+                model, params, mb, {"dropout": mrng}, False, use_token_ids,
+                fused_lm_head=fused_lm_head,
             )
             # scale the per-micro mean by its sample count: the scan
             # accumulates sums-over-samples and normalizes once at the
@@ -288,7 +291,8 @@ def make_train_step(
 
         def loss_fn(params):
             return _forward_loss(
-                model, params, batch, {"dropout": rng}, False, use_token_ids
+                model, params, batch, {"dropout": rng}, False, use_token_ids,
+                fused_lm_head=fused_lm_head,
             )
 
         (loss, (_, loss_p, loss_t)), grads = jax.value_and_grad(

@@ -217,3 +217,151 @@ def test_gathered_lm_loss_matches_direct():
                 np.asarray(a), np.asarray(b_), atol=2e-5,
                 err_msg=f"capacity={capacity}",
             )
+
+
+# ---- fused linear CE (forward-computed gradients) ----
+
+
+def _fused_fixture(seed=31, B=4, L=32, H=16, V=50, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    hidden = jnp.asarray(rng.standard_normal((B, L, H)), dtype)
+    kernel = jnp.asarray(rng.standard_normal((H, V)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(V) * 0.01, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, (B, L)), jnp.int32)
+    mask = jnp.asarray(rng.random((B, L)) < 0.2).at[2].set(False)
+    lengths = jnp.asarray([L, L - 12, L, 5], jnp.int32)
+    return hidden, kernel, bias, labels, mask, lengths
+
+
+def test_fused_lm_loss_value_bitwise_vs_chunked():
+    """The fused op's primal AND differentiated loss values accumulate in
+    the chunked path's exact order — bitwise equality, not allclose."""
+    from pl_bert_tpu.ops.masked_ce import (
+        masked_lm_loss_chunked, masked_lm_loss_fused,
+    )
+
+    hidden, kernel, bias, labels, mask, lengths = _fused_fixture()
+    for cs in (8, 5):  # divisible and snapped-down chunk sizes
+        ref = masked_lm_loss_chunked(
+            hidden, kernel, bias, labels, mask, lengths, cs
+        )
+        prim = masked_lm_loss_fused(
+            hidden, kernel, bias, labels, mask, lengths, cs
+        )
+        diff, _ = jax.value_and_grad(
+            lambda h: masked_lm_loss_fused(
+                h, kernel, bias, labels, mask, lengths, cs
+            )
+        )(hidden)
+        assert float(prim) == float(ref)
+        assert float(diff) == float(ref)
+
+
+def test_fused_lm_loss_gradients_match_autodiff():
+    from pl_bert_tpu.ops.masked_ce import (
+        masked_lm_loss_chunked, masked_lm_loss_fused,
+    )
+
+    hidden, kernel, bias, labels, mask, lengths = _fused_fixture()
+    g_ref = jax.grad(
+        lambda *a: masked_lm_loss_chunked(*a, labels, mask, lengths, 8),
+        argnums=(0, 1, 2),
+    )(hidden, kernel, bias)
+    g_fus = jax.grad(
+        lambda *a: masked_lm_loss_fused(*a, labels, mask, lengths, 8),
+        argnums=(0, 1, 2),
+    )(hidden, kernel, bias)
+    for a, b in zip(g_ref, g_fus):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=1e-7,
+        )
+
+
+def test_fused_lm_loss_scaled_cotangent():
+    """The custom-VJP backward is a pure scaling: an outer 2.5x on the
+    loss must scale every gradient by exactly 2.5."""
+    from pl_bert_tpu.ops.masked_ce import masked_lm_loss_fused
+
+    hidden, kernel, bias, labels, mask, lengths = _fused_fixture()
+
+    def loss(h, k, b, s):
+        return s * masked_lm_loss_fused(h, k, b, labels, mask, lengths, 8)
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(hidden, kernel, bias, 1.0)
+    g25 = jax.grad(loss, argnums=(0, 1, 2))(hidden, kernel, bias, 2.5)
+    for a, b in zip(g1, g25):
+        np.testing.assert_allclose(
+            2.5 * np.asarray(a), np.asarray(b), rtol=1e-6
+        )
+
+
+def test_fused_dispatch_gather_and_fallback_under_jit():
+    """masked_lm_loss(fused=True) through BOTH lax.cond branches (the
+    masked-position gather and the capacity-overflow fallback), jitted,
+    values and gradients against the default path."""
+    from pl_bert_tpu.ops.masked_ce import masked_lm_loss
+
+    hidden, kernel, bias, labels, mask, lengths = _fused_fixture()
+    overflow = jnp.ones_like(mask)  # every position masked -> fallback
+
+    import functools
+
+    for m in (mask, overflow):
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def vg(h, k, b, fused, m=m):
+            return jax.value_and_grad(
+                lambda *a: masked_lm_loss(
+                    *a, labels, m, lengths, capacity=16, fused=fused
+                ),
+                argnums=(0, 1, 2),
+            )(h, k, b)
+
+        v_ref, g_ref = vg(hidden, kernel, bias, False)
+        v_fus, g_fus = vg(hidden, kernel, bias, True)
+        assert abs(float(v_ref) - float(v_fus)) < 1e-6
+        for a, b in zip(g_ref, g_fus):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+            )
+
+
+def test_fused_lm_loss_no_masks_zero_loss_zero_grads():
+    from pl_bert_tpu.ops.masked_ce import masked_lm_loss_fused
+
+    hidden, kernel, bias, labels, _, lengths = _fused_fixture()
+    none = jnp.zeros(labels.shape, bool)
+    v, g = jax.value_and_grad(
+        lambda h: masked_lm_loss_fused(
+            h, kernel, bias, labels, none, lengths, 8
+        )
+    )(hidden)
+    assert float(v) == 0.0
+    assert bool(jnp.all(g == 0))
+
+
+def test_fused_lm_loss_bf16_kernel_grad_close():
+    """Mixed precision: fused dW accumulates across chunks in fp32 where
+    the chunked scan accumulates in bf16 — agreement is dtype-rounding,
+    pinned here at 2% relative."""
+    from pl_bert_tpu.ops.masked_ce import (
+        masked_lm_loss_chunked, masked_lm_loss_fused,
+    )
+
+    hidden, kernel, bias, labels, mask, lengths = _fused_fixture(
+        dtype=jnp.bfloat16
+    )
+    g_ref = jax.grad(
+        lambda k: masked_lm_loss_chunked(
+            hidden, k, bias, labels, mask, lengths, 8
+        )
+    )(kernel)
+    g_fus = jax.grad(
+        lambda k: masked_lm_loss_fused(
+            hidden, k, bias, labels, mask, lengths, 8
+        )
+    )(kernel)
+    denom = float(jnp.max(jnp.abs(g_ref)))
+    err = float(jnp.max(jnp.abs(g_ref - g_fus))) / max(denom, 1e-30)
+    assert err < 2e-2, err

@@ -250,3 +250,61 @@ def test_trainer_rejects_dataset_without_token_ids(tmp_path):
     corpus = make_synthetic_corpus(8)  # NO token_ids column
     with _pytest.raises(ValueError, match="token_ids"):
         Trainer(cfg, str(tmp_path / "run"), False, dataset=corpus)
+
+
+def test_fused_lm_head_trajectory_matches_default(tmp_path):
+    """training_params.fused_lm_head swaps the grapheme-head CE for the
+    forward-computed-gradients op (ops/masked_ce.py::masked_lm_loss_fused).
+    In fp32 its gradients equal autodiff to rounding — the short loss
+    trajectory must track the default path step for step."""
+    raw = {
+        "training_params": {
+            "output_dir": str(tmp_path / "ckpt"),
+            "batch_size": 8,
+            "save_interval": 100,
+            "num_steps": 6,
+            "learning_rate": 1e-3,
+            "training_dataset": "explicit",
+            "mixed_precision": "fp32",
+        },
+        "dataset_params": {"max_seq_length": 64, "word_separator": 87},
+        "model_params": {
+            "hidden_size": 64,
+            "num_attention_heads": 4,
+            "intermediate_size": 128,
+            "max_position_embeddings": 64,
+            "num_hidden_layers": 2,
+            "embedding_size": 32,
+            "attention_impl": "xla",
+            "num_token_vocab": 100,
+        },
+    }
+
+    def run(fused):
+        cfg = Config.from_dict(
+            {
+                **raw,
+                "training_params": {
+                    **raw["training_params"], "fused_lm_head": fused,
+                },
+            }
+        )
+        trainer = Trainer(
+            cfg, str(tmp_path / f"run_{fused}"), False, dataset=_corpus()
+        )
+        losses = []
+        for i, batch in enumerate(trainer._train_batches(epoch=1)):
+            trainer.state, m = trainer.train_step(
+                trainer.state, trainer._put(batch), trainer.base_rng
+            )
+            losses.append((float(m["loss"]), float(m["token_loss"])))
+            if i == 5:
+                break
+        return losses
+
+    ref = run(False)
+    fus = run(True)
+    assert all(t > 0 for _, t in fus)  # grapheme head actually training
+    np.testing.assert_allclose(
+        np.asarray(fus), np.asarray(ref), rtol=5e-4, atol=1e-5
+    )

@@ -387,3 +387,48 @@ def test_model_axis_4_with_sp_matches_model_axis_1(tmp_path):
     np.testing.assert_allclose(
         np.asarray(losses[4]), np.asarray(losses[1]), rtol=5e-5, atol=5e-6
     )
+
+
+def test_vocab_sharded_fused_lm_loss_matches_replicated():
+    """masked_lm_loss(fused=True) — the forward-computed-gradients CE —
+    under a P(None, model) vocab-sharded head: GSPMD must partition the
+    custom-VJP forward scan (softmax all-reduces, dk vocab-sharded,
+    dh psum over the model axis) without changing values OR gradients
+    vs the replicated default path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pl_bert_tpu.ops.masked_ce import masked_lm_loss
+
+    rng = np.random.default_rng(37)
+    Bv, Lv, Hv, Vv = 4, 32, 8, 64
+    hidden = jnp.asarray(rng.standard_normal((Bv, Lv, Hv)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((Hv, Vv)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(Vv) * 0.01, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, Vv, (Bv, Lv)), jnp.int32)
+    mask = jnp.asarray(rng.random((Bv, Lv)) < 0.15)
+    lengths = jnp.asarray([32, 30, 12, 32], jnp.int32)
+
+    def vg(fused, k, b):
+        return jax.jit(
+            lambda h, k, b: jax.value_and_grad(
+                lambda *a: masked_lm_loss(
+                    *a, labels, mask, lengths,
+                    capacity=16, chunk_size=8, fused=fused,
+                ),
+                argnums=(0, 1, 2),
+            )(h, k, b)
+        )(hidden, k, b)
+
+    v_ref, g_ref = vg(False, kernel, bias)
+
+    mesh = _mesh_1x2()
+    k_sh = jax.device_put(kernel, NamedSharding(mesh, P(None, "model")))
+    b_sh = jax.device_put(bias, NamedSharding(mesh, P("model")))
+    v_fus, g_fus = vg(True, k_sh, b_sh)
+
+    assert abs(float(v_ref) - float(v_fus)) < 1e-5
+    for a, b in zip(g_ref, g_fus):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+            rtol=5e-5, atol=1e-7,
+        )
