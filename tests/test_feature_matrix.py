@@ -25,10 +25,12 @@ COMBOS = {
     "tp2_sp_multitask_async_keep2": dict(
         model_axis=2, multitask=True, packing=False, accum=1,
         schedule="none", clip=0.0, zero1=False, async_save=True, sp=True,
+        fused_head=True,  # fused linear CE x tp x sp
     ),
     "tp4_multitask_zero1_warmup_accum": dict(
         model_axis=4, multitask=True, packing=False, accum=2,
         schedule="linear", clip=0.5, zero1=True, async_save=False, sp=False,
+        fused_head=True,  # fused linear CE x grad-accum x zero1 x tp4
     ),
     "tp2_sp_packing_multitask_zero1": dict(
         model_axis=2, multitask=True, packing=True, accum=1,
@@ -57,6 +59,7 @@ def _config(tmp_path, name, c):
             "zero1": c["zero1"],
             "async_save": c["async_save"],
             "keep_checkpoints": 2 if c["async_save"] else 0,
+            "fused_lm_head": c.get("fused_head", False),
         },
         "dataset_params": {
             "max_seq_length": 64,
