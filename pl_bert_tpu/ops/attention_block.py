@@ -19,6 +19,11 @@ softmax max/denominator. This kernel removes both costs:
   ([B, G, L, 8] fp32, ~9 MB for the flagship shape) so the backward
   skips both reductions and reproduces the forward's probabilities
   bitwise from one matmul + exp.
+- Primal-only calls (eval/serving — jax invokes the custom-VJP primal,
+  not fwd, when nothing differentiates the block) run a LIGHT variant
+  of the same kernel with no residual outputs at all: the saving
+  forward's md + q2/k2/v2/o2 stores are ~300 MB/layer of dead HBM
+  writes at the flagship serving shape.
 
 Replaces the HF attention path of the reference (reference:
 model.py:23-28 via transformers AlbertAttention), which materializes
@@ -177,6 +182,74 @@ def _fwd_kernel(
         out_ref[0] = (acc_ref[...] + bo_ref[0][None, :]).astype(out_ref.dtype)
 
 
+def _fwd_kernel_light(
+    x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    bias_ref, seg_ref, seed_ref,
+    out_ref,
+    acc_ref,
+    *, scale: float, use_segments: bool, rate: float, heads: int,
+):
+    """``_fwd_kernel`` minus the backward residuals — the primal-only
+    (never-differentiated) path: eval and serving. The saving forward
+    writes md + q2/k2/v2/o2 ([B,G,L,8] + 4×[B,L,P]) to HBM every call —
+    ~300 MB/layer of dead stores at the flagship serving shape when no
+    backward will ever read them. KEEP THE MATH IN SYNC with
+    ``_fwd_kernel``: the custom-VJP contract is that primal and fwd
+    return identical values."""
+    g = pl.program_id(1)
+    n_groups = pl.num_programs(1)
+    x = x_ref[0]  # [L, E]
+    cdt = x.dtype
+
+    q2 = (
+        jnp.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
+        + bq_ref[0][None, :]
+    ).astype(cdt)  # [L, 128]
+    k2 = (
+        jnp.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
+        + bk_ref[0][None, :]
+    ).astype(cdt)
+    v2 = (
+        jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+        + bv_ref[0][None, :]
+    ).astype(cdt)
+
+    bias = bias_ref[0, 0]
+    seg = seg_ref[0, 0]
+    head_dim = _LANES // heads
+
+    outs = []
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        p, _, _ = _attend_one_head(
+            q2[:, sl], k2[:, sl], bias, seg,
+            scale=scale, use_segments=use_segments,
+        )
+        if rate > 0.0:
+            p = _dropout(
+                p, seed_ref, pl.program_id(0) * (n_groups * heads) + g * heads + h,
+                rate=rate,
+            )
+        o = jnp.dot(
+            p.astype(cdt), v2[:, sl], preferred_element_type=jnp.float32
+        )  # [L, D]
+        outs.append(o)
+    o2 = jnp.concatenate(outs, axis=-1).astype(cdt)  # [L, 128]
+    proj = jnp.dot(o2, wo_ref[...], preferred_element_type=jnp.float32)  # [L, E]
+
+    @pl.when(g == 0)
+    def _():
+        acc_ref[...] = proj
+
+    @pl.when(g > 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + proj
+
+    @pl.when(g == n_groups - 1)
+    def _():
+        out_ref[0] = (acc_ref[...] + bo_ref[0][None, :]).astype(out_ref.dtype)
+
+
 def _bwd_kernel(
     wq_ref, wk_ref, wv_ref, wo_ref,
     bias_ref, seg_ref, seed_ref, md_ref, q2_ref, k2_ref, v2_ref, dout_ref,
@@ -296,10 +369,54 @@ def _block(
     hidden, wq, bq, wk, bk, wv, bv, wo, bo, bias_row, seg_row, seed,
     out_dtype, use_segments, rate, heads,
 ):
-    return _block_fwd(
+    # primal-only path (eval/serving — jax only calls this when the
+    # block is NOT differentiated): the light kernel, no residual stores
+    return _block_fwd_light(
         hidden, wq, bq, wk, bk, wv, bv, wo, bo, bias_row, seg_row, seed,
         out_dtype, use_segments, rate, heads,
-    )[0]
+    )
+
+
+def _block_fwd_light(
+    hidden, wq, bq, wk, bk, wv, bv, wo, bo, bias_row, seg_row, seed,
+    out_dtype, use_segments, rate, heads,
+):
+    B, L, E = hidden.shape
+    P = wq.shape[1]
+    G = P // _LANES
+    scale = 1.0 / ((_LANES // heads) ** 0.5)
+    cdt = hidden.dtype
+    wq_c, wk_c, wv_c, wo_c = (w.astype(cdt) for w in (wq, wk, wv, wo))
+    bq_r = bq.reshape(1, P).astype(jnp.float32)
+    bk_r = bk.reshape(1, P).astype(jnp.float32)
+    bv_r = bv.reshape(1, P).astype(jnp.float32)
+    bo_r = bo.reshape(1, E).astype(jnp.float32)
+
+    x, w_in, b_in, w_out, b_out, row, seed_s, _, _ = _specs(B, L, E)
+    (out,) = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_light, scale=scale, use_segments=use_segments,
+            rate=rate, heads=heads,
+        ),
+        grid=(B, G),
+        in_specs=[x, w_in, b_in, w_in, b_in, w_in, b_in, w_out, b_out,
+                  row, row, seed_s],
+        out_specs=[x],
+        out_shape=[jax.ShapeDtypeStruct((B, L, E), out_dtype)],
+        scratch_shapes=[pltpu.VMEM((L, E), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * L * P * (4 * E + 2 * L),
+            bytes_accessed=B * L * E * 4 + B * E * P * 8,
+            transcendentals=B * G * heads * L * L,
+        ),
+    )(
+        hidden, wq_c, bq_r, wk_c, bk_r, wv_c, bv_r, wo_c, bo_r,
+        bias_row, seg_row, seed,
+    )
+    return out
 
 
 def _block_fwd(

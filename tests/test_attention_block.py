@@ -171,3 +171,30 @@ def test_block_supported_vmem_bound():
     # GLOBAL width is 2048 (E·P = 2^21), while E=1024 TP-sharded passes
     assert not block_supported(512, 16, 64, global_width=2048)
     assert block_supported(512, 8, 64, global_width=1024)
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.3])
+def test_primal_light_kernel_matches_differentiated_forward(rate):
+    """The primal-only path runs the LIGHT kernel (no backward-residual
+    stores — eval/serving skip ~300 MB/layer of dead HBM writes at the
+    flagship shape); the custom-VJP contract requires its value to be
+    IDENTICAL to the saving forward that runs under differentiation.
+    rate>0 additionally pins that both kernels regenerate the same
+    dropout mask from the same (seed, head) stream."""
+    x, ws, bs, bias, seg = _inputs(masked=True)
+    seed = jnp.asarray([7], jnp.int32) if rate > 0 else None
+
+    def call(xx):
+        return attention_block(
+            xx, ws["q"], bs["q"], ws["k"], bs["k"], ws["v"], bs["v"],
+            ws["o"], bs["o"], H, bias=bias, segment_ids=seg,
+            out_dtype=jnp.float32, dropout_rate=rate, dropout_seed=seed,
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        primal = call(x)  # light kernel
+        via_fwd, _ = jax.value_and_grad(
+            lambda xx: jnp.sum(call(xx))
+        )(x)  # saving kernel
+        expect = float(jnp.sum(primal))
+    np.testing.assert_array_equal(np.asarray(expect), np.asarray(via_fwd))
