@@ -250,6 +250,68 @@ def _fwd_kernel_light(
         out_ref[0] = (acc_ref[...] + bo_ref[0][None, :]).astype(out_ref.dtype)
 
 
+def _fwd_kernel_light_full(
+    x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    bias_ref, seg_ref, seed_ref,
+    out_ref,
+    *, scale: float, use_segments: bool, rate: float, heads: int,
+    groups: int,
+):
+    """Fullwidth variant of ``_fwd_kernel_light``: grid (B,) — one
+    program projects the full [L, P] q/k/v, attends every head, and
+    writes the output directly (no cross-group accumulator staging, no
+    output-block revisits). Round-2 microbench measured this grid 15%
+    faster forward (3.52 vs 4.16 ms/layer at the flagship shape) but it
+    VMEM-OOMs with backward-residual saves — which the light path does
+    not have. Dropout stream indices replicate the grouped kernel's
+    (b·G·heads + g·heads + h) numbering so masks are identical across
+    variants."""
+    x = x_ref[0]  # [L, E]
+    cdt = x.dtype
+
+    q2 = (
+        jnp.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
+        + bq_ref[0][None, :]
+    ).astype(cdt)  # [L, P]
+    k2 = (
+        jnp.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
+        + bk_ref[0][None, :]
+    ).astype(cdt)
+    v2 = (
+        jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+        + bv_ref[0][None, :]
+    ).astype(cdt)
+
+    bias = bias_ref[0, 0]
+    seg = seg_ref[0, 0]
+    head_dim = _LANES // heads
+
+    outs = []
+    for g in range(groups):
+        for h in range(heads):
+            lo = g * _LANES + h * head_dim
+            sl = slice(lo, lo + head_dim)
+            p, _, _ = _attend_one_head(
+                q2[:, sl], k2[:, sl], bias, seg,
+                scale=scale, use_segments=use_segments,
+            )
+            if rate > 0.0:
+                p = _dropout(
+                    p, seed_ref,
+                    pl.program_id(0) * (groups * heads) + g * heads + h,
+                    rate=rate,
+                )
+            outs.append(
+                jnp.dot(
+                    p.astype(cdt), v2[:, sl],
+                    preferred_element_type=jnp.float32,
+                )
+            )
+    o2 = jnp.concatenate(outs, axis=-1).astype(cdt)  # [L, P]
+    proj = jnp.dot(o2, wo_ref[...], preferred_element_type=jnp.float32)
+    out_ref[0] = (proj + bo_ref[0][None, :]).astype(out_ref.dtype)
+
+
 def _bwd_kernel(
     wq_ref, wk_ref, wv_ref, wo_ref,
     bias_ref, seg_ref, seed_ref, md_ref, q2_ref, k2_ref, v2_ref, dout_ref,
@@ -377,6 +439,19 @@ def _block(
     )
 
 
+def _fullwidth_light_ok(L: int, E: int, P: int) -> bool:
+    """Shapes where the fullwidth (B,)-grid light kernel's VMEM working
+    set (four [E, P] weights + six [L, P] activations + per-head [L, L]
+    temporaries, NO residual saves) fits: measured on v5e at
+    L=512/E=P=768. Opt in/out with PLBERT_ATTN_FULLWIDTH (default on
+    for supported shapes; '0' forces the grouped grid for A/Bs)."""
+    import os
+
+    if os.environ.get("PLBERT_ATTN_FULLWIDTH", "1") == "0":
+        return False
+    return L <= 512 and E * P <= 768 * 768
+
+
 def _block_fwd_light(
     hidden, wq, bq, wk, bk, wv, bv, wo, bo, bias_row, seg_row, seed,
     out_dtype, use_segments, rate, heads,
@@ -393,6 +468,39 @@ def _block_fwd_light(
     bo_r = bo.reshape(1, E).astype(jnp.float32)
 
     x, w_in, b_in, w_out, b_out, row, seed_s, _, _ = _specs(B, L, E)
+    cost = pl.CostEstimate(
+        flops=2 * B * L * P * (4 * E + 2 * L),
+        bytes_accessed=B * L * E * 4 + B * E * P * 8,
+        transcendentals=B * G * heads * L * L,
+    )
+    args = (
+        hidden, wq_c, bq_r, wk_c, bk_r, wv_c, bv_r, wo_c, bo_r,
+        bias_row, seg_row, seed,
+    )
+    if _fullwidth_light_ok(L, E, P):
+        xf = pl.BlockSpec((1, L, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        wf_in = pl.BlockSpec((E, P), lambda b: (0, 0), memory_space=pltpu.VMEM)
+        bf_in = pl.BlockSpec((1, P), lambda b: (0, 0), memory_space=pltpu.VMEM)
+        wf_out = pl.BlockSpec((P, E), lambda b: (0, 0), memory_space=pltpu.VMEM)
+        bf_out = pl.BlockSpec((1, E), lambda b: (0, 0), memory_space=pltpu.VMEM)
+        rowf = pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        seedf = pl.BlockSpec(memory_space=pltpu.SMEM)
+        (out,) = pl.pallas_call(
+            functools.partial(
+                _fwd_kernel_light_full, scale=scale,
+                use_segments=use_segments, rate=rate, heads=heads, groups=G,
+            ),
+            grid=(B,),
+            in_specs=[xf, wf_in, bf_in, wf_in, bf_in, wf_in, bf_in,
+                      wf_out, bf_out, rowf, rowf, seedf],
+            out_specs=[xf],
+            out_shape=[jax.ShapeDtypeStruct((B, L, E), out_dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            cost_estimate=cost,
+        )(*args)
+        return out
     (out,) = pl.pallas_call(
         functools.partial(
             _fwd_kernel_light, scale=scale, use_segments=use_segments,
@@ -407,15 +515,8 @@ def _block_fwd_light(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * L * P * (4 * E + 2 * L),
-            bytes_accessed=B * L * E * 4 + B * E * P * 8,
-            transcendentals=B * G * heads * L * L,
-        ),
-    )(
-        hidden, wq_c, bq_r, wk_c, bk_r, wv_c, bv_r, wo_c, bo_r,
-        bias_row, seg_row, seed,
-    )
+        cost_estimate=cost,
+    )(*args)
     return out
 
 

@@ -178,9 +178,13 @@ def test_primal_light_kernel_matches_differentiated_forward(rate):
     """The primal-only path runs the LIGHT kernel (no backward-residual
     stores — eval/serving skip ~300 MB/layer of dead HBM writes at the
     flagship shape); the custom-VJP contract requires its value to be
-    IDENTICAL to the saving forward that runs under differentiation.
-    rate>0 additionally pins that both kernels regenerate the same
-    dropout mask from the same (seed, head) stream."""
+    equal to the saving forward that runs under differentiation, to
+    accumulation-order rounding (the fullwidth light grid projects the
+    output in one [L,P]x[P,E] dot where the grouped grid stages G
+    partial adds in an fp32 scratch — last-ulp differences). rate>0
+    additionally pins the dropout stream structure; true (seed, head)
+    stream numbering is chip-only (interpret mode stubs the PRNG) and
+    is pinned in tests/test_tpu_hardware.py."""
     x, ws, bs, bias, seg = _inputs(masked=True)
     seed = jnp.asarray([7], jnp.int32) if rate > 0 else None
 
@@ -197,4 +201,31 @@ def test_primal_light_kernel_matches_differentiated_forward(rate):
             lambda xx: jnp.sum(call(xx))
         )(x)  # saving kernel
         expect = float(jnp.sum(primal))
-    np.testing.assert_array_equal(np.asarray(expect), np.asarray(via_fwd))
+    np.testing.assert_allclose(
+        np.asarray(expect), np.asarray(via_fwd), rtol=1e-5
+    )
+
+
+def test_light_fullwidth_matches_grouped(monkeypatch):
+    """The fullwidth (B,)-grid light kernel and the grouped (B,G) light
+    kernel must agree to accumulation-order rounding — the fullwidth
+    grid projects the output in ONE [L,P]x[P,E] dot, the grouped grid
+    stages G partial adds in an fp32 scratch (PLBERT_ATTN_FULLWIDTH=0
+    forces grouped)."""
+    x, ws, bs, bias, seg = _inputs(masked=True, segments=True)
+
+    def call(xx):
+        return attention_block(
+            xx, ws["q"], bs["q"], ws["k"], bs["k"], ws["v"], bs["v"],
+            ws["o"], bs["o"], H, bias=bias, segment_ids=seg,
+            out_dtype=jnp.float32,
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("PLBERT_ATTN_FULLWIDTH", "1")
+        full = call(x)
+        monkeypatch.setenv("PLBERT_ATTN_FULLWIDTH", "0")
+        grouped = call(x)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(grouped), atol=2e-6
+    )

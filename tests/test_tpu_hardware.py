@@ -62,3 +62,50 @@ def test_full_model_pallas_matches_xla():
         np.abs(outs["xla"]).max() + 1e-9
     )
     assert rel < 0.05, rel  # bf16 noise only
+
+
+def test_light_primal_dropout_streams_match_saving_forward():
+    """Interpret mode stubs the on-chip PRNG, so the dropout-stream
+    NUMBERING contract between the light primal kernels (grouped and
+    fullwidth) and the saving forward is only testable here: with the
+    same seed, the primal-only value must equal the value computed via
+    value_and_grad (the saving kernel) exactly — any stream-index skew
+    would change masks and break equality."""
+    import jax.numpy as jnp
+
+    from pl_bert_tpu.ops.attention_block import attention_block
+
+    rng = np.random.default_rng(3)
+    B, L, E, H = 2, 512, 768, 12
+    x = jnp.asarray(rng.standard_normal((B, L, E)) * 0.3, jnp.bfloat16)
+    ws = {
+        n: jnp.asarray(rng.standard_normal((E, E)) * 0.03, jnp.float32)
+        for n in "qkvo"
+    }
+    bs = {
+        n: jnp.asarray(rng.standard_normal(E) * 0.01, jnp.float32)
+        for n in "qkvo"
+    }
+    seed = jnp.asarray([11], jnp.int32)
+
+    def call(xx):
+        return attention_block(
+            xx, ws["q"], bs["q"], ws["k"], bs["k"], ws["v"], bs["v"],
+            ws["o"], bs["o"], H, out_dtype=jnp.float32,
+            dropout_rate=0.1, dropout_seed=seed,
+        )
+
+    import os
+
+    for fullwidth in ("1", "0"):
+        os.environ["PLBERT_ATTN_FULLWIDTH"] = fullwidth
+        primal = np.asarray(jax.jit(call)(x))
+        via_fwd, _ = jax.jit(
+            lambda xx: jax.value_and_grad(lambda a: jnp.sum(call(a)))(xx)
+        )(x)
+        expect = float(np.asarray(primal, np.float64).sum())
+        got = float(via_fwd)
+        assert abs(expect - got) <= abs(expect) * 1e-5, (
+            fullwidth, expect, got,
+        )
+    os.environ.pop("PLBERT_ATTN_FULLWIDTH", None)
