@@ -290,6 +290,11 @@ def masked_lm_loss(
     more than ``capacity`` masked positions (≥5.7σ above the masking
     distribution's mean at the defaults), a ``lax.cond`` falls back to
     the exact full-length chunked path for that batch.
+
+    ``fused=True`` swaps the chunked CE for ``masked_lm_loss_fused``
+    (forward-computed gradients — one fewer pass of the dominant matmul
+    under differentiation) in BOTH cond branches; values are bitwise
+    either way, gradients agree to compute-dtype rounding.
     """
     B, L, H = hidden.shape
     inner = masked_lm_loss_fused if fused else masked_lm_loss_chunked
