@@ -1,0 +1,231 @@
+"""HTTP serving front-end: phoneme strings → hidden states, batched.
+
+The reference has no serving component (its export is consumed offline
+by StyleTTS fine-tuning, reference: README.md:36-119); this module is
+the online-production counterpart the goal calls for: a stdlib
+``ThreadingHTTPServer`` whose concurrent request threads all feed ONE
+``DynamicBatcher`` — so traffic from many clients coalesces into
+fixed-shape, bucket-padded TPU forwards (see batcher.py for why that is
+the TPU-first shape of this problem).
+
+Routes
+------
+- ``POST /encode`` — body ``{"phonemes": "..."}"`` or
+  ``{"phonemes": ["...", ...]}``. Response mirrors the input shape::
+
+      {"hidden": [[...H floats...] x length], "length": N}
+      {"results": [{"hidden": ..., "length": N}, ...]}
+
+  ``hidden`` is the valid prefix ``[length, H]`` (fp32, JSON floats).
+  Add ``"round": k`` to round values to k decimals (smaller payloads).
+- ``GET /healthz`` — liveness + model shape.
+- ``GET /stats`` — batching counters (requests, batches,
+  mean_batch_size, pending, errors).
+
+Run::
+
+    python -m pl_bert_tpu.serving.server \
+        --checkpoint ckpt/run/step_1000 --config_path configs/config.yml \
+        --port 8787 --max_batch 64 --max_wait_ms 4 --buckets 64,128,256
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from pl_bert_tpu.serving.batcher import DynamicBatcher
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set per-server via make_server (class attribute on a subclass)
+    batcher: DynamicBatcher
+    model_info: dict
+    request_timeout_s: float = 60.0
+
+    # silence per-request stderr lines; stats carries the counters
+    def log_message(self, fmt, *args):  # noqa: D102
+        pass
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        if self.path == "/healthz":
+            self._reply(200, {"ok": True, **self.model_info})
+        elif self.path == "/stats":
+            self._reply(200, self.batcher.stats())
+        else:
+            self._reply(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self) -> None:  # noqa: N802
+        if self.path != "/encode":
+            self._reply(404, {"error": f"no route {self.path}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            phonemes = req["phonemes"]
+        except (ValueError, KeyError) as exc:
+            self._reply(400, {"error": f"bad request: {exc!r}"})
+            return
+        single = isinstance(phonemes, str)
+        texts = [phonemes] if single else list(phonemes)
+        if not texts or not all(isinstance(t, str) and t for t in texts):
+            self._reply(400, {"error": "phonemes must be a non-empty "
+                                       "string or list of non-empty strings"})
+            return
+        nd = req.get("round")
+        try:
+            # submit all before collecting any — a list request batches
+            # with itself (and with every other in-flight request)
+            futures = [self.batcher.submit(t) for t in texts]
+            results = []
+            for f in futures:
+                hidden, length = f.result(timeout=self.request_timeout_s)
+                if nd is not None:
+                    hidden = np.round(hidden, int(nd))
+                results.append(
+                    {"hidden": hidden.tolist(), "length": length}
+                )
+        except Exception as exc:  # noqa: BLE001 — surfaced to the client
+            self._reply(500, {"error": repr(exc)})
+            return
+        self._reply(200, results[0] if single else {"results": results})
+
+
+def make_server(
+    encoder,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_batch: int | None = None,
+    max_wait_ms: float = 5.0,
+) -> ThreadingHTTPServer:
+    """Build (but do not start) the serving HTTP server.
+
+    ``encoder`` is a ``PhonemeEncoder``; ``max_batch`` defaults to its
+    fixed ``batch_size`` (required — a shape-per-request encoder would
+    recompile under load, the exact footgun the fixed batch removes).
+    Returns a ``ThreadingHTTPServer`` with ``.batcher`` attached; call
+    ``serve_forever()`` (or drive it from a thread in tests) and
+    ``shutdown()`` + ``server.batcher.close()`` to stop.
+    """
+    if max_batch is None:
+        if encoder.batch_size is None:
+            raise ValueError(
+                "encoder must be built with a fixed batch_size (or pass "
+                "max_batch explicitly) so serving compiles exactly once"
+            )
+        max_batch = encoder.batch_size
+    if encoder.batch_size is not None and max_batch > encoder.batch_size:
+        raise ValueError(
+            f"max_batch {max_batch} exceeds the encoder's fixed "
+            f"batch_size {encoder.batch_size}"
+        )
+    batcher = DynamicBatcher(encoder, max_batch, max_wait_ms=max_wait_ms)
+
+    class Handler(_Handler):
+        pass
+
+    Handler.batcher = batcher
+    Handler.model_info = {
+        "hidden_size": int(encoder.cfg.hidden_size),
+        "max_seq_length": int(encoder.max_seq_length),
+        "batch_size": encoder.batch_size,
+        "seq_buckets": (
+            list(encoder.seq_buckets) if encoder.seq_buckets else None
+        ),
+    }
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher  # type: ignore[attr-defined]
+    return server
+
+
+def serve_in_thread(server: ThreadingHTTPServer) -> threading.Thread:
+    """Start ``serve_forever`` on a daemon thread (tests / embedding)."""
+    t = threading.Thread(
+        target=server.serve_forever, name="plbert-http", daemon=True
+    )
+    t.start()
+    return t
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    from pl_bert_tpu.models.inference import PhonemeEncoder
+
+    parser = argparse.ArgumentParser(
+        description="Serve PL-BERT hidden states over HTTP with dynamic "
+                    "batching"
+    )
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--checkpoint", help="orbax step_N training checkpoint")
+    src.add_argument("--hf_dir", help="directory written by pl_bert_tpu.export")
+    parser.add_argument("--config_path",
+                        help="training config (required with --checkpoint)")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8787)
+    parser.add_argument("--max_batch", type=int, default=64,
+                        help="fixed compile batch = max requests coalesced "
+                             "per forward")
+    parser.add_argument("--max_wait_ms", type=float, default=5.0,
+                        help="max time a request waits for co-riders")
+    parser.add_argument("--int8", action="store_true",
+                        help="dynamic int8 dense projections (ops/quant.py)")
+    parser.add_argument("--buckets", default="",
+                        help="comma-separated sequence-length buckets, e.g. "
+                             "64,128,256 — short requests run at short "
+                             "padded lengths")
+    args = parser.parse_args(argv)
+
+    kwargs: dict = {
+        "batch_size": args.max_batch,
+        "quantize": "int8" if args.int8 else None,
+        "seq_buckets": (
+            tuple(int(x) for x in args.buckets.split(",") if x) or None
+        ),
+    }
+    if args.checkpoint:
+        if not args.config_path:
+            parser.error("--checkpoint requires --config_path")
+        enc = PhonemeEncoder.from_checkpoint(
+            args.checkpoint, args.config_path, **kwargs
+        )
+    else:
+        enc = PhonemeEncoder.from_hf_export(args.hf_dir, **kwargs)
+
+    # warm the compile cache before accepting traffic: one forward per
+    # bucket shape, so the first real request never eats a compile
+    for bk in enc.seq_buckets or (enc.max_seq_length,):
+        enc(["a" * min(bk, enc.max_seq_length)])
+
+    server = make_server(
+        enc, args.host, args.port,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+    )
+    print(
+        f"serving on http://{args.host}:{server.server_address[1]} "
+        f"(max_batch {args.max_batch}, max_wait {args.max_wait_ms} ms, "
+        f"buckets {kwargs['seq_buckets']})",
+        flush=True,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        server.batcher.close()  # type: ignore[attr-defined]
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""Dynamic-batching serving layer: batcher semantics + HTTP round-trip.
+
+The reference has no serving component; the contract pinned here is the
+one the batcher must preserve: each request's hidden states are the
+SAME whether it rode alone or coalesced into a full batch (padding is
+masked out of attention), results route back to the right caller, and
+errors never wedge the worker.
+"""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from pl_bert_tpu.config import ModelParams
+from pl_bert_tpu.models.albert import build_model, init_params
+from pl_bert_tpu.models.inference import PhonemeEncoder
+from pl_bert_tpu.serving.batcher import DynamicBatcher
+from pl_bert_tpu.serving.server import make_server, serve_in_thread
+
+TEXTS = ["qalam", "bajt ʃams", "ˈmaʕna θaːbit", "ab", "ʃ", "qalam bajt"]
+
+
+@pytest.fixture(scope="module")
+def encoder():
+    mp = ModelParams(
+        hidden_size=32, num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32, num_hidden_layers=1, embedding_size=16,
+        dropout=0.0, attention_impl="xla",
+    )
+    params = init_params(build_model(mp, "fp32"), 32, seed=11)["encoder"]
+    return PhonemeEncoder(
+        params, mp, max_seq_length=32, mixed_precision="fp32", batch_size=4
+    )
+
+
+# --- stub encode_fn for pure batching-logic tests ---------------------------
+
+
+class _StubEncoder:
+    """encode_fn whose output rows identify their input text, recording
+    every batch it was called with."""
+
+    def __init__(self, delay_s: float = 0.0, poison: str | None = None):
+        self.calls: list[list[str]] = []
+        self.delay_s = delay_s
+        self.poison = poison
+
+    def __call__(self, texts):
+        self.calls.append(list(texts))
+        if self.poison is not None and self.poison in texts:
+            raise RuntimeError("poisoned batch")
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        n, L, H = len(texts), 16, 4
+        hidden = np.zeros((n, L, H), np.float32)
+        lengths = np.array([min(len(t), L) for t in texts], np.int32)
+        for i, t in enumerate(texts):
+            hidden[i, : lengths[i]] = float(sum(map(ord, t)))
+        return hidden, lengths
+
+
+def test_batcher_coalesces_and_routes():
+    stub = _StubEncoder()
+    with DynamicBatcher(stub, max_batch=8, max_wait_ms=200.0) as b:
+        futures = [b.submit(t) for t in ["ab", "cde", "f", "ghij"]]
+        results = [f.result(timeout=10) for f in futures]
+    # all four coalesced into one call (200 ms co-rider window vs
+    # microsecond submits)
+    assert len(stub.calls) == 1 and sorted(stub.calls[0]) == sorted(
+        ["ab", "cde", "f", "ghij"]
+    )
+    for text, (hidden, length) in zip(["ab", "cde", "f", "ghij"], results):
+        assert length == len(text)
+        assert hidden.shape == (len(text), 4)
+        np.testing.assert_array_equal(hidden, float(sum(map(ord, text))))
+    s = b.stats()
+    assert s["requests"] == 4 and s["batches"] == 1
+    assert s["mean_batch_size"] == 4.0 and s["pending"] == 0
+
+
+def test_batcher_respects_max_batch():
+    stub = _StubEncoder()
+    with DynamicBatcher(stub, max_batch=3, max_wait_ms=100.0) as b:
+        futures = [b.submit(f"t{i}") for i in range(7)]
+        for f in futures:
+            f.result(timeout=10)
+    assert all(len(c) <= 3 for c in stub.calls)
+    assert sum(len(c) for c in stub.calls) == 7
+    assert b.stats()["max_batch_seen"] == 3
+
+
+def test_batcher_zero_wait_serves_singles_promptly():
+    stub = _StubEncoder()
+    with DynamicBatcher(stub, max_batch=8, max_wait_ms=0.0) as b:
+        t0 = time.monotonic()
+        hidden, length = b.encode("abc", timeout=10)
+        assert time.monotonic() - t0 < 5.0
+    assert length == 3 and hidden.shape == (3, 4)
+
+
+def test_batcher_error_propagates_and_worker_survives():
+    stub = _StubEncoder(poison="bad")
+    with DynamicBatcher(stub, max_batch=8, max_wait_ms=50.0) as b:
+        f_bad = b.submit("bad")
+        with pytest.raises(RuntimeError, match="poisoned"):
+            f_bad.result(timeout=10)
+        # the worker keeps serving after a failed batch
+        hidden, length = b.encode("ok", timeout=10)
+        assert length == 2
+        assert b.stats()["errors"] >= 1
+
+
+def test_batcher_rejects_after_close():
+    stub = _StubEncoder()
+    b = DynamicBatcher(stub, max_batch=2, max_wait_ms=0.0)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit("x")
+
+
+# --- real-encoder parity -----------------------------------------------------
+
+
+def test_batched_results_match_direct_encoder(encoder):
+    """Coalesced serving returns bitwise the same valid-prefix hidden
+    states as a direct per-utterance PhonemeEncoder call."""
+    direct = {}
+    for t in TEXTS:
+        hidden, lengths = encoder([t])
+        direct[t] = hidden[0, : lengths[0]]
+
+    with DynamicBatcher(encoder, max_batch=4, max_wait_ms=50.0) as b:
+        futures = [b.submit(t) for t in TEXTS]  # 6 requests > max_batch 4
+        results = [f.result(timeout=60) for f in futures]
+
+    for t, (hidden, length) in zip(TEXTS, results):
+        assert length == len(direct[t])
+        np.testing.assert_allclose(hidden, direct[t], atol=1e-5)
+    assert b.stats()["batches"] >= 2  # 6 items through max_batch=4
+
+
+# --- HTTP front-end ----------------------------------------------------------
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_roundtrip(encoder):
+    server = make_server(encoder, port=0, max_wait_ms=20.0)
+    serve_in_thread(server)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        # liveness reports the model shape
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["hidden_size"] == 32
+
+        direct_h, direct_l = encoder(["qalam"])
+        status, single = _post(base + "/encode", {"phonemes": "qalam"})
+        assert status == 200 and single["length"] == int(direct_l[0])
+        np.testing.assert_allclose(
+            np.array(single["hidden"], np.float32),
+            direct_h[0, : direct_l[0]], atol=1e-5,
+        )
+
+        # list input; concurrent list members batch together
+        status, multi = _post(
+            base + "/encode", {"phonemes": ["ab", "bajt ʃams"], "round": 4}
+        )
+        assert status == 200 and len(multi["results"]) == 2
+        assert multi["results"][0]["length"] == 2
+        assert multi["results"][1]["length"] == len("bajt ʃams")
+
+        # malformed requests -> 400, not a wedged server
+        assert _post(base + "/encode", {"phonemes": []})[0] == 400
+        assert _post(base + "/encode", {"nope": 1})[0] == 400
+        assert _post(base + "/elsewhere", {})[0] == 404
+
+        with urllib.request.urlopen(base + "/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 3 and stats["errors"] == 0
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
+def test_http_concurrent_requests_coalesce(encoder):
+    """Requests arriving from separate client threads ride one batch."""
+    server = make_server(encoder, port=0, max_wait_ms=150.0)
+    serve_in_thread(server)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    results = {}
+
+    def client(text):
+        results[text] = _post(base + "/encode", {"phonemes": text})
+
+    try:
+        threads = [
+            threading.Thread(target=client, args=(t,)) for t in TEXTS[:4]
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert all(results[t][0] == 200 for t in TEXTS[:4])
+        stats = server.batcher.stats()
+        # 4 concurrent requests inside a 150 ms window: strictly fewer
+        # batches than requests proves cross-request coalescing
+        assert stats["batches"] < stats["requests"]
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
+def test_make_server_requires_fixed_batch(encoder):
+    mp = ModelParams(
+        hidden_size=32, num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32, num_hidden_layers=1, embedding_size=16,
+        dropout=0.0, attention_impl="xla",
+    )
+    params = init_params(build_model(mp, "fp32"), 32, seed=3)["encoder"]
+    enc = PhonemeEncoder(params, mp, 32, mixed_precision="fp32")
+    with pytest.raises(ValueError, match="fixed batch_size"):
+        make_server(enc)
+    with pytest.raises(ValueError, match="exceeds"):
+        make_server(encoder, max_batch=99)
