@@ -26,6 +26,7 @@ one device stream: the jitted forward is never called concurrently.
 
 from __future__ import annotations
 
+import collections
 import threading
 import time
 from concurrent.futures import Future
@@ -43,6 +44,7 @@ EncodeFn = Callable[[list[str]], tuple[np.ndarray, np.ndarray]]
 class _Pending:
     text: str
     future: Future = field(default_factory=Future)
+    t_submit: float = field(default_factory=time.monotonic)
 
 
 class DynamicBatcher:
@@ -90,6 +92,10 @@ class DynamicBatcher:
         self._n_batched_items = 0
         self._max_batch_seen = 0
         self._n_errors = 0
+        # submit→result latency of the most recent requests (seconds)
+        self._latencies: collections.deque[float] = collections.deque(
+            maxlen=2048
+        )
         self._worker = threading.Thread(
             target=self._run, name="plbert-batcher", daemon=True
         )
@@ -120,7 +126,8 @@ class DynamicBatcher:
         """Serving counters (also exposed at the HTTP ``/stats`` route)."""
         with self._lock:
             n_b = self._n_batches
-            return {
+            lat = sorted(self._latencies)
+            out = {
                 "requests": self._n_requests,
                 "batches": n_b,
                 "mean_batch_size": (
@@ -130,6 +137,13 @@ class DynamicBatcher:
                 "pending": len(self._queue),
                 "errors": self._n_errors,
             }
+            if lat:
+                out["latency_ms"] = {
+                    "p50": 1e3 * lat[len(lat) // 2],
+                    "p95": 1e3 * lat[min(len(lat) - 1, int(0.95 * len(lat)))],
+                    "max": 1e3 * lat[-1],
+                }
+            return out
 
     def close(self, timeout: float = 10.0) -> None:
         """Drain remaining requests, then stop the worker."""
@@ -185,6 +199,9 @@ class DynamicBatcher:
                 self._n_batches += 1
                 self._n_batched_items += len(batch)
                 self._max_batch_seen = max(self._max_batch_seen, len(batch))
+            done = time.monotonic()
             for i, p in enumerate(batch):
                 n = int(lengths[i])
                 p.future.set_result((np.asarray(hidden[i, :n]), n))
+            with self._lock:
+                self._latencies.extend(done - p.t_submit for p in batch)

@@ -114,6 +114,23 @@ def test_batcher_error_propagates_and_worker_survives():
         assert b.stats()["errors"] >= 1
 
 
+def test_batcher_latency_stats():
+    """stats() reports submit→result latency percentiles once requests
+    have completed, and the p50/p95/max ordering is sane."""
+    stub = _StubEncoder(delay_s=0.01)
+    with DynamicBatcher(stub, max_batch=4, max_wait_ms=0.0) as b:
+        for i in range(8):
+            b.encode(f"t{i}", timeout=10)
+        s = b.stats()
+    lat = s["latency_ms"]
+    # every request waited at least the 10 ms stub delay
+    assert lat["p50"] >= 10.0
+    assert lat["p50"] <= lat["p95"] <= lat["max"]
+    # no completed requests -> no latency block
+    with DynamicBatcher(_StubEncoder(), max_batch=2, max_wait_ms=0.0) as b2:
+        assert "latency_ms" not in b2.stats()
+
+
 def test_batcher_rejects_after_close():
     stub = _StubEncoder()
     b = DynamicBatcher(stub, max_batch=2, max_wait_ms=0.0)
