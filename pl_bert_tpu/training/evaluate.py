@@ -79,7 +79,10 @@ def evaluate(args: dict, dataset=None) -> dict:
         finally:
             trainer.metrics.close()
     if result is None:
-        raise SystemExit("validation split is empty — nothing to evaluate")
+        raise SystemExit(
+            "no usable validation batches (empty split, or masking "
+            "selected zero positions everywhere) — nothing to evaluate"
+        )
     loss, acc = result
     out = {
         "checkpoint": ckpt,

@@ -564,7 +564,11 @@ class Trainer:
         train.py:288-304 appends loss.item() per batch and np.mean's),
         so a ragged final batch carries the same per-batch weight there
         and here. Padded rows contribute nothing to a batch's own mean
-        (ops/masked_ce.py)."""
+        (ops/masked_ce.py). One deliberate divergence: a batch in which
+        masking selected ZERO positions (possible on tiny validation
+        splits) is excluded from the mean — our masked CE returns a
+        vacuous 0.0 for it (which would dilute the mean toward zero)
+        and the reference's torch CE returns NaN (which poisons it)."""
         losses, accs = [], []
         bs = self.config.training_params.batch_size
         tp = self.config.training_params
@@ -574,9 +578,11 @@ class Trainer:
             arrays = self._pad_batch(arrays, bs)
             # fold in the batch index so validation masking patterns are
             # independent across batches (VERDICT r1 weak #4)
-            loss, acc = self.eval_step(
+            loss, acc, n_masked = self.eval_step(
                 self.state.params, self._put(arrays), jax.random.fold_in(eval_rng, i)
             )
+            if int(n_masked) == 0:
+                continue
             losses.append(float(loss))
             accs.append(float(acc))
         self._last_val_batches = len(losses)
@@ -644,8 +650,9 @@ class Trainer:
         if val is None:
             if is_main_process():
                 print(
-                    "Validation skipped: the 95/5 split produced no "
-                    "validation batches (dataset smaller than a batch)",
+                    "Validation skipped: no usable validation batches "
+                    "(95/5 split smaller than a batch, or masking "
+                    "selected zero positions in every batch)",
                     flush=True,
                 )
         else:

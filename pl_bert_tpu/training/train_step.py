@@ -316,9 +316,17 @@ def make_train_step(
 
 
 def make_eval_step(model, use_token_ids: bool = False, masking_params=None):
-    """Jitted eval step → (phoneme_loss, masked accuracy). With
-    ``masking_params``, masking runs on device from the provided rng
-    (pass a FIXED key so validation is deterministic across runs)."""
+    """Jitted eval step → (phoneme_loss, masked accuracy, n_masked).
+    With ``masking_params``, masking runs on device from the provided
+    rng (pass a FIXED key so validation is deterministic across runs).
+
+    ``n_masked`` is the batch's total masked-position count (after
+    on-device masking, if enabled) so the caller can drop zero-mask
+    batches from validation means: a tiny validation split can draw a
+    batch where no word was selected for masking (p≈0.85^words), whose
+    loss is vacuously 0.0 here — and NaN in the reference's torch CE
+    (reference: train.py:288-304 np.mean's per-batch loss.item()s,
+    which an all-ignored batch poisons)."""
 
     def step_fn(params, batch: dict, rng: jax.Array):
         if masking_params is not None:
@@ -330,7 +338,8 @@ def make_eval_step(model, use_token_ids: bool = False, masking_params=None):
         acc = masked_accuracy(
             logits, batch["label_ids"], batch["mask_positions"], batch["lengths"]
         )
-        return loss_p, acc
+        n_masked = jnp.sum(batch["mask_positions"].astype(jnp.int32))
+        return loss_p, acc, n_masked
 
     return jax.jit(step_fn)
 

@@ -220,3 +220,29 @@ def test_epoch_cap_exit_saves_final_checkpoint(tmp_path):
     steps = [r["step"] for r in records if "phoneme_loss" in r]
     assert steps == sorted(set(steps)), "relaunch re-trained steps"
     assert max(steps) == final
+
+
+def test_validation_excludes_zero_mask_batches(tmp_path):
+    """A validation batch where masking selected ZERO positions must not
+    enter the validation mean: our masked CE returns a vacuous 0.0 for
+    it (diluting the mean toward zero) and the reference's torch CE
+    returns NaN (reference: train.py:288-304 np.mean's per-batch
+    loss.item()s, which an all-ignored batch poisons). word_pred_prob=0
+    makes EVERY batch zero-mask, so validate() must report None."""
+    cfg_path = _write_config(
+        tmp_path, dataset_params={"word_pred_prob": 0.0}
+    )
+    cfg = Config.load(cfg_path)
+    tr = Trainer(cfg, str(tmp_path / "run0"), resuming=False)
+    assert tr.validate() is None
+    assert tr._last_val_batches == 0
+
+    # sanity: with the default masking rate the same split validates
+    cfg_path2 = _write_config(tmp_path)
+    cfg2 = Config.load(cfg_path2)
+    tr2 = Trainer(cfg2, str(tmp_path / "run1"), resuming=False)
+    val = tr2.validate()
+    assert val is not None
+    loss, acc = val
+    assert np.isfinite(loss) and loss > 0.0
+    assert tr2._last_val_batches >= 1
