@@ -254,3 +254,29 @@ def test_make_server_requires_fixed_batch(encoder):
         make_server(enc)
     with pytest.raises(ValueError, match="exceeds"):
         make_server(encoder, max_batch=99)
+
+
+def test_bench_serving_tool_contract(capsys):
+    """tools/bench_serving.py emits the load-test JSON contract (tiny
+    model, CPU smoke — the real numbers come from the TPU run)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    import bench_serving
+
+    bench_serving.main(
+        ["--tiny", "--requests", "24", "--concurrency", "6",
+         "--max_batch", "6", "--max_wait_ms", "2"]
+    )
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    record = json.loads(line)
+    assert record["metric"] == "serving_load_engine"
+    assert record["requests"] == 24
+    assert record["requests_per_sec"] > 0
+    assert record["mean_batch_size"] >= 1.0
+    assert record["max_batch_seen"] <= 6
+    lat = record["client_latency"]
+    assert lat["p50_ms"] <= lat["p95_ms"] <= lat["max_ms"]

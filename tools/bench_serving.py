@@ -1,0 +1,214 @@
+"""Load-test the online serving stack (DynamicBatcher [+ HTTP]).
+
+The reference has no serving component (its export is consumed offline,
+reference: README.md:36-119); this tool quantifies ours: C closed-loop
+clients hammer the dynamic batcher with realistic mixed-length
+utterances and we report achieved request throughput, client-observed
+latency percentiles, and how well concurrent traffic coalesced into
+fixed-shape TPU forwards (mean batch size).
+
+Two transports:
+- default: clients call ``DynamicBatcher.encode`` directly from
+  threads — measures the serving engine (batching + device) without
+  JSON costs;
+- ``--http``: clients POST ``/encode`` against the real
+  ``ThreadingHTTPServer`` — the full production path including
+  (de)serialization of the [L, 768] hidden states.
+
+Run on the TPU rig::
+
+    python tools/bench_serving.py                  # engine, bucketed
+    python tools/bench_serving.py --http           # full HTTP path
+    python tools/bench_serving.py --no_buckets     # every call padded 512
+
+Prints per-config JSON lines + one summary line. CPU runs exercise the
+machinery but the latencies are not the serving numbers this is for.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# serving-realistic utterance mix: StyleTTS feeds one short utterance
+# per request (reference: README.md:40-47) — mostly sentence-length,
+# a tail of long paragraphs
+LENGTH_MIX = (12, 30, 30, 60, 60, 60, 120, 120, 250, 500)
+
+
+def _encoder(max_batch: int, seq_buckets, hidden_override=None):
+    from pl_bert_tpu.config import ModelParams
+    from pl_bert_tpu.models.albert import build_model, init_params
+    from pl_bert_tpu.models.inference import PhonemeEncoder
+
+    kwargs = dict(hidden_override or {})
+    mp = ModelParams(**kwargs)  # default = flagship ALBERT-base shape
+    model = build_model(mp, "fp32")
+    params = init_params(model, mp.max_position_embeddings, seed=0)["encoder"]
+    return PhonemeEncoder(
+        params, mp, max_seq_length=mp.max_position_embeddings,
+        mixed_precision="bf16", batch_size=max_batch,
+        seq_buckets=seq_buckets,
+    )
+
+
+def _utterances(n: int, seed: int = 0) -> list[str]:
+    rng = np.random.default_rng(seed)
+    alphabet = list("ɑɐɒæbdfɡhijklmnopqrstuvwzʃʒ ")
+    out = []
+    for i in range(n):
+        L = LENGTH_MIX[int(rng.integers(len(LENGTH_MIX)))]
+        out.append("".join(rng.choice(alphabet, size=L)))
+    return out
+
+
+def _run_clients(n_clients: int, texts: list[str], call) -> list[float]:
+    """Closed-loop: each client thread pulls the next request off a
+    shared cursor, so exactly len(texts) requests run with n_clients
+    in flight. Returns per-request client-observed latencies (s)."""
+    lat = [0.0] * len(texts)
+    cursor = iter(range(len(texts)))
+    lock = threading.Lock()
+
+    def client():
+        while True:
+            with lock:
+                i = next(cursor, None)
+            if i is None:
+                return
+            t0 = time.perf_counter()
+            call(texts[i])
+            lat[i] = time.perf_counter() - t0
+
+    threads = [threading.Thread(target=client) for _ in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return lat
+
+
+def _percentiles(lat: list[float]) -> dict:
+    s = sorted(lat)
+    pick = lambda q: 1e3 * s[min(len(s) - 1, int(q * len(s)))]
+    return {
+        "p50_ms": round(pick(0.50), 2),
+        "p95_ms": round(pick(0.95), 2),
+        "p99_ms": round(pick(0.99), 2),
+        "max_ms": round(1e3 * s[-1], 2),
+    }
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--requests", type=int, default=512)
+    parser.add_argument("--concurrency", type=int, default=32)
+    parser.add_argument("--max_batch", type=int, default=32)
+    parser.add_argument("--max_wait_ms", type=float, default=5.0)
+    parser.add_argument("--no_buckets", action="store_true",
+                        help="pad every call to the full 512 instead of "
+                             "the 64/128/256/512 bucket ladder")
+    parser.add_argument("--http", action="store_true",
+                        help="drive the real HTTP server instead of the "
+                             "batcher API (adds JSON of the hidden states)")
+    parser.add_argument("--tiny", action="store_true",
+                        help="1-layer/32-hidden model — machinery smoke "
+                             "run on CPU, not a measurement")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from pl_bert_tpu.serving.batcher import DynamicBatcher
+    from pl_bert_tpu.serving.server import make_server, serve_in_thread
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print(
+            f"WARNING: backend is {jax.default_backend()!r}, not TPU — "
+            "latencies below are not serving numbers",
+            file=sys.stderr,
+        )
+
+    buckets = None if args.no_buckets else (64, 128, 256, 512)
+    tiny = (
+        {"hidden_size": 32, "num_attention_heads": 2,
+         "intermediate_size": 64, "num_hidden_layers": 1,
+         "embedding_size": 16, "max_position_embeddings": 512,
+         "dropout": 0.0, "attention_impl": "xla"}
+        if args.tiny else None
+    )
+    enc = _encoder(args.max_batch, buckets, tiny)
+    # warm every bucket shape so no client eats a compile
+    for bk in enc.seq_buckets or (enc.max_seq_length,):
+        enc(["a" * bk])
+
+    texts = _utterances(args.requests)
+    total_phonemes = sum(len(t) for t in texts)
+
+    if args.http:
+        import urllib.request
+
+        server = make_server(
+            enc, port=0, max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms,
+        )
+        serve_in_thread(server)
+        url = f"http://127.0.0.1:{server.server_address[1]}/encode"
+
+        def call(text: str) -> None:
+            req = urllib.request.Request(
+                url,
+                data=json.dumps({"phonemes": text, "round": 3}).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                json.loads(resp.read())
+
+        batcher = server.batcher
+    else:
+        server = None
+        batcher = DynamicBatcher(
+            enc, args.max_batch, max_wait_ms=args.max_wait_ms
+        )
+
+        def call(text: str) -> None:
+            batcher.encode(text, timeout=120)
+
+    try:
+        t0 = time.perf_counter()
+        lat = _run_clients(args.concurrency, texts, call)
+        wall = time.perf_counter() - t0
+        stats = batcher.stats()
+    finally:
+        if server is not None:
+            server.shutdown()
+        batcher.close()
+
+    out = {
+        "metric": "serving_load" + ("_http" if args.http else "_engine"),
+        "requests": args.requests,
+        "concurrency": args.concurrency,
+        "max_batch": args.max_batch,
+        "max_wait_ms": args.max_wait_ms,
+        "buckets": list(enc.seq_buckets) if enc.seq_buckets else None,
+        "requests_per_sec": round(args.requests / wall, 1),
+        "phonemes_per_sec": round(total_phonemes / wall, 1),
+        "mean_batch_size": stats["mean_batch_size"],
+        "max_batch_seen": stats["max_batch_seen"],
+        "client_latency": _percentiles(lat),
+        "queue_latency_ms": stats.get("latency_ms"),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
