@@ -22,6 +22,13 @@ Threading model: callers enqueue under a Condition and get a
 oldest pending request), runs the encoder OUTSIDE the lock, and routes
 each row's valid-prefix hidden states back to its future. One worker ==
 one device stream: the jitted forward is never called concurrently.
+
+Two production knobs on top: ``seq_buckets`` makes batch formation
+bucket-aware (a batch only carries requests from ONE length bucket, so
+short utterances never pay a long co-rider's padded compute), and
+``max_pending`` bounds the queue (overload → :class:`QueueFull`,
+surfaced as HTTP 503 — bounded tail latency instead of a silent
+ever-growing queue).
 """
 
 from __future__ import annotations
@@ -40,9 +47,18 @@ import numpy as np
 EncodeFn = Callable[[list[str]], tuple[np.ndarray, np.ndarray]]
 
 
+class QueueFull(RuntimeError):
+    """Raised by :meth:`DynamicBatcher.submit` when ``max_pending`` is
+    set and the queue is at capacity — the backpressure signal (the
+    HTTP front-end maps it to 503 + Retry-After). Rejecting at submit
+    keeps tail latency bounded: an unbounded queue converts overload
+    into arbitrarily late answers instead of an actionable error."""
+
+
 @dataclass
 class _Pending:
     text: str
+    bucket: int = 0
     future: Future = field(default_factory=Future)
     t_submit: float = field(default_factory=time.monotonic)
 
@@ -63,6 +79,20 @@ class DynamicBatcher:
         How long a request may wait for co-riders before the batch is
         cut anyway — the latency/throughput knob. 0 = never wait (each
         drain takes whatever is queued right now).
+    seq_buckets:
+        Optional ascending length buckets — normally the ENCODER's own
+        ``seq_buckets``. When set, a batch is formed only from requests
+        that land in the SAME bucket as the oldest pending request, so
+        a 12-phoneme utterance never pays a 500-phoneme co-rider's
+        padded compute (the encoder pads the whole batch to its longest
+        member's bucket). Requests in other buckets stay queued in FIFO
+        order; the oldest request always defines the next batch, so no
+        bucket starves.
+    max_pending:
+        Optional queue-depth bound. When the queue holds this many
+        not-yet-batched requests, :meth:`submit` raises
+        :class:`QueueFull` instead of enqueueing (overload → fast 503,
+        not unbounded latency). None = unbounded (trusted callers).
 
     Each submitted string resolves to ``(hidden [length, H] fp32,
     length)`` — the VALID PREFIX of its row, so results are identical
@@ -75,16 +105,23 @@ class DynamicBatcher:
         encode_fn: EncodeFn,
         max_batch: int,
         max_wait_ms: float = 5.0,
+        seq_buckets: tuple[int, ...] | None = None,
+        max_pending: int | None = None,
     ) -> None:
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        if max_pending is not None and max_pending < 1:
+            raise ValueError(f"max_pending must be >= 1, got {max_pending}")
         self._encode_fn = encode_fn
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
+        self.seq_buckets = (
+            tuple(sorted(int(b) for b in seq_buckets)) if seq_buckets else None
+        )
+        self.max_pending = max_pending
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
         self._queue: list[_Pending] = []
-        self._oldest_ts: float = 0.0
         self._closed = False
         # stats (mutated only under the lock or by the single worker)
         self._n_requests = 0
@@ -92,6 +129,7 @@ class DynamicBatcher:
         self._n_batched_items = 0
         self._max_batch_seen = 0
         self._n_errors = 0
+        self._n_rejected = 0
         # submit→result latency of the most recent requests (seconds)
         self._latencies: collections.deque[float] = collections.deque(
             maxlen=2048
@@ -101,16 +139,37 @@ class DynamicBatcher:
         )
         self._worker.start()
 
+    def _bucket_of(self, text: str) -> int:
+        """Bucket index for grouping (0 when bucketing is off). Uses the
+        same smallest-covering-bucket rule as PhonemeEncoder.encode_batch
+        — one char == one phoneme id under the char indexer; overlong
+        texts group into the top bucket (the encoder crops them)."""
+        if self.seq_buckets is None:
+            return 0
+        n = len(text)
+        for i, bk in enumerate(self.seq_buckets):
+            if bk >= n:
+                return i
+        return len(self.seq_buckets) - 1
+
     # --- client side --------------------------------------------------------
     def submit(self, phoneme_string: str) -> Future:
         """Enqueue one utterance; the Future resolves to
-        ``(hidden [length, H] fp32, length)``."""
-        item = _Pending(phoneme_string)
+        ``(hidden [length, H] fp32, length)``. Raises :class:`QueueFull`
+        when ``max_pending`` is set and reached."""
+        item = _Pending(phoneme_string, self._bucket_of(phoneme_string))
         with self._cond:
             if self._closed:
                 raise RuntimeError("DynamicBatcher is closed")
-            if not self._queue:
-                self._oldest_ts = time.monotonic()
+            if (
+                self.max_pending is not None
+                and len(self._queue) >= self.max_pending
+            ):
+                self._n_rejected += 1
+                raise QueueFull(
+                    f"{len(self._queue)} requests already pending "
+                    f"(max_pending={self.max_pending})"
+                )
             self._queue.append(item)
             self._n_requests += 1
             self._cond.notify_all()
@@ -136,6 +195,7 @@ class DynamicBatcher:
                 "max_batch_seen": self._max_batch_seen,
                 "pending": len(self._queue),
                 "errors": self._n_errors,
+                "rejected": self._n_rejected,
             }
             if lat:
                 out["latency_ms"] = {
@@ -159,6 +219,19 @@ class DynamicBatcher:
         self.close()
 
     # --- worker side --------------------------------------------------------
+    def _group_of_head(self) -> list[_Pending]:
+        """Up to ``max_batch`` queued items sharing the HEAD's bucket,
+        in FIFO order (== the head's ``max_batch``-prefix when bucketing
+        is off, since every bucket is then 0). Lock held by caller."""
+        head_bucket = self._queue[0].bucket
+        group = []
+        for p in self._queue:
+            if p.bucket == head_bucket:
+                group.append(p)
+                if len(group) == self.max_batch:
+                    break
+        return group
+
     def _cut_batch(self) -> list[_Pending] | None:
         """Block until a batch is ready (or closed+drained → None)."""
         with self._cond:
@@ -166,20 +239,21 @@ class DynamicBatcher:
                 if self._closed:
                     return None
                 self._cond.wait()
-            # wait for co-riders, bounded by the oldest request's deadline
-            deadline = self._oldest_ts + self.max_wait_s
-            while len(self._queue) < self.max_batch and not self._closed:
+            # wait for co-riders, bounded by the oldest request's
+            # deadline (the queue is FIFO, so head == oldest; serving
+            # the head's bucket first is what prevents starvation)
+            deadline = self._queue[0].t_submit + self.max_wait_s
+            while (
+                len(self._group_of_head()) < self.max_batch
+                and not self._closed
+            ):
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
                 self._cond.wait(timeout=remaining)
-            batch = self._queue[: self.max_batch]
-            del self._queue[: self.max_batch]
-            if self._queue:
-                # remaining items become the new "oldest" cohort; their
-                # true arrival is earlier than now, so this only ever
-                # SHORTENS their wait — never starves them
-                self._oldest_ts = time.monotonic()
+            batch = self._group_of_head()
+            taken = set(map(id, batch))
+            self._queue = [p for p in self._queue if id(p) not in taken]
             return batch
 
     def _run(self) -> None:

@@ -37,7 +37,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from pl_bert_tpu.serving.batcher import DynamicBatcher
+from pl_bert_tpu.serving.batcher import DynamicBatcher, QueueFull
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -88,6 +88,18 @@ class _Handler(BaseHTTPRequestHandler):
             # submit all before collecting any — a list request batches
             # with itself (and with every other in-flight request)
             futures = [self.batcher.submit(t) for t in texts]
+        except QueueFull as exc:
+            # overload backpressure: tell the client to retry rather
+            # than letting the queue (and tail latency) grow unbounded
+            self.send_response(503)
+            self.send_header("Retry-After", "1")
+            body = json.dumps({"error": str(exc)}).encode("utf-8")
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        try:
             results = []
             for f in futures:
                 hidden, length = f.result(timeout=self.request_timeout_s)
@@ -108,12 +120,17 @@ def make_server(
     port: int = 0,
     max_batch: int | None = None,
     max_wait_ms: float = 5.0,
+    max_pending: int | None = None,
 ) -> ThreadingHTTPServer:
     """Build (but do not start) the serving HTTP server.
 
     ``encoder`` is a ``PhonemeEncoder``; ``max_batch`` defaults to its
     fixed ``batch_size`` (required — a shape-per-request encoder would
     recompile under load, the exact footgun the fixed batch removes).
+    The batcher inherits the encoder's ``seq_buckets`` so batch
+    formation is bucket-aware whenever serving is length-bucketed, and
+    ``max_pending`` (optional) bounds the queue — overload answers 503
+    + Retry-After instead of queueing without bound.
     Returns a ``ThreadingHTTPServer`` with ``.batcher`` attached; call
     ``serve_forever()`` (or drive it from a thread in tests) and
     ``shutdown()`` + ``server.batcher.close()`` to stop.
@@ -130,7 +147,10 @@ def make_server(
             f"max_batch {max_batch} exceeds the encoder's fixed "
             f"batch_size {encoder.batch_size}"
         )
-    batcher = DynamicBatcher(encoder, max_batch, max_wait_ms=max_wait_ms)
+    batcher = DynamicBatcher(
+        encoder, max_batch, max_wait_ms=max_wait_ms,
+        seq_buckets=encoder.seq_buckets, max_pending=max_pending,
+    )
 
     class Handler(_Handler):
         pass
@@ -179,6 +199,9 @@ def main(argv=None) -> None:
                              "per forward")
     parser.add_argument("--max_wait_ms", type=float, default=5.0,
                         help="max time a request waits for co-riders")
+    parser.add_argument("--max_pending", type=int, default=None,
+                        help="queue-depth bound; at capacity new requests "
+                             "get 503 + Retry-After (default: unbounded)")
     parser.add_argument("--int8", action="store_true",
                         help="dynamic int8 dense projections (ops/quant.py)")
     parser.add_argument("--buckets", default="",
@@ -211,6 +234,7 @@ def main(argv=None) -> None:
     server = make_server(
         enc, args.host, args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        max_pending=args.max_pending,
     )
     print(
         f"serving on http://{args.host}:{server.server_address[1]} "

@@ -37,6 +37,20 @@ def encoder():
     )
 
 
+@pytest.fixture(scope="module")
+def encoder_bucketed():
+    mp = ModelParams(
+        hidden_size=32, num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32, num_hidden_layers=1, embedding_size=16,
+        dropout=0.0, attention_impl="xla",
+    )
+    params = init_params(build_model(mp, "fp32"), 32, seed=11)["encoder"]
+    return PhonemeEncoder(
+        params, mp, max_seq_length=32, mixed_precision="fp32",
+        batch_size=4, seq_buckets=(8, 16, 32),
+    )
+
+
 # --- stub encode_fn for pure batching-logic tests ---------------------------
 
 
@@ -280,3 +294,105 @@ def test_bench_serving_tool_contract(capsys):
     assert record["max_batch_seen"] <= 6
     lat = record["client_latency"]
     assert lat["p50_ms"] <= lat["p95_ms"] <= lat["max_ms"]
+
+
+# --- bucket-aware batch formation + backpressure -----------------------------
+
+
+def test_bucket_aware_batching_groups_by_bucket():
+    """With seq_buckets set, no batch mixes buckets: a 3-char request
+    never rides (and pays the padded compute of) a 40-char one."""
+    stub = _StubEncoder()
+    with DynamicBatcher(
+        stub, max_batch=8, max_wait_ms=60.0, seq_buckets=(8, 16, 64)
+    ) as b:
+        texts = ["aa", "b" * 40, "cc", "d" * 40, "ee", "ff"]
+        futures = [b.submit(t) for t in texts]
+        for f in futures:
+            f.result(timeout=10)
+    bucket = lambda t: 0 if len(t) <= 8 else (1 if len(t) <= 16 else 2)
+    for call in stub.calls:
+        assert len({bucket(t) for t in call}) == 1, stub.calls
+    # the four short ones coalesced together, the two long ones together
+    assert sorted(map(len, stub.calls)) == [2, 4]
+
+
+def test_bucket_batching_preserves_fifo_no_starvation():
+    """The oldest pending request always defines the next batch, so a
+    minority bucket is served ahead of a flood of later arrivals."""
+    stub = _StubEncoder(delay_s=0.02)
+    with DynamicBatcher(
+        stub, max_batch=4, max_wait_ms=0.0, seq_buckets=(8, 64)
+    ) as b:
+        first = b.submit("z" * 40)        # lone long request, oldest
+        later = [b.submit("aa") for _ in range(8)]  # short flood behind it
+        first.result(timeout=10)
+        for f in later:
+            f.result(timeout=10)
+    assert "z" * 40 in stub.calls[0]  # served first, not starved
+
+
+def test_bucketed_batcher_matches_direct_encoder(encoder_bucketed):
+    """Value parity holds under bucket-aware formation too."""
+    direct = {}
+    for t in TEXTS:
+        hidden, lengths = encoder_bucketed([t])
+        direct[t] = hidden[0, : lengths[0]]
+    with DynamicBatcher(
+        encoder_bucketed, max_batch=4, max_wait_ms=50.0,
+        seq_buckets=encoder_bucketed.seq_buckets,
+    ) as b:
+        futures = [b.submit(t) for t in TEXTS]
+        results = [f.result(timeout=60) for f in futures]
+    for t, (hidden, length) in zip(TEXTS, results):
+        assert length == len(direct[t])
+        np.testing.assert_allclose(hidden, direct[t], atol=1e-5)
+
+
+def test_backpressure_rejects_at_capacity():
+    from pl_bert_tpu.serving.batcher import QueueFull
+
+    stub = _StubEncoder(delay_s=0.2)  # slow worker so the queue backs up
+    with DynamicBatcher(
+        stub, max_batch=1, max_wait_ms=0.0, max_pending=2
+    ) as b:
+        futures = [b.submit("keep")]  # worker picks this up
+        time.sleep(0.05)              # let it enter the slow encode
+        futures += [b.submit("q1"), b.submit("q2")]  # fills max_pending
+        with pytest.raises(QueueFull, match="max_pending=2"):
+            b.submit("overflow")
+        for f in futures:  # queued work still completes after rejection
+            f.result(timeout=10)
+    s = b.stats()
+    assert s["rejected"] == 1
+    assert s["requests"] == 3  # the rejected one never counted
+
+
+def test_http_503_on_overload(encoder):
+    server = make_server(
+        encoder, port=0, max_wait_ms=0.0, max_pending=1
+    )
+    # swap in a slow encode so requests pile up behind the worker
+    real = server.batcher._encode_fn
+    server.batcher._encode_fn = lambda texts: (time.sleep(0.3), real(texts))[1]
+    serve_in_thread(server)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        codes = {}
+
+        def client(i):
+            codes[i] = _post(base + "/encode", {"phonemes": f"t{i}"})[0]
+
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(6)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert 503 in codes.values()  # overload surfaced, not queued
+        assert 200 in codes.values()  # while admitted work completed
+        assert server.batcher.stats()["rejected"] >= 1
+    finally:
+        server.shutdown()
+        server.batcher.close()

@@ -122,6 +122,10 @@ def main(argv=None) -> None:
     parser.add_argument("--tiny", action="store_true",
                         help="1-layer/32-hidden model — machinery smoke "
                              "run on CPU, not a measurement")
+    parser.add_argument("--flat_batching", action="store_true",
+                        help="disable bucket-aware batch formation (A/B "
+                             "control: mixed-length batches pad to the "
+                             "longest rider's bucket)")
     args = parser.parse_args(argv)
 
     import jax
@@ -176,7 +180,8 @@ def main(argv=None) -> None:
     else:
         server = None
         batcher = DynamicBatcher(
-            enc, args.max_batch, max_wait_ms=args.max_wait_ms
+            enc, args.max_batch, max_wait_ms=args.max_wait_ms,
+            seq_buckets=None if args.flat_batching else enc.seq_buckets,
         )
 
         def call(text: str) -> None:
@@ -199,6 +204,7 @@ def main(argv=None) -> None:
         "max_batch": args.max_batch,
         "max_wait_ms": args.max_wait_ms,
         "buckets": list(enc.seq_buckets) if enc.seq_buckets else None,
+        "bucket_batching": batcher.seq_buckets is not None,
         "requests_per_sec": round(args.requests / wall, 1),
         "phonemes_per_sec": round(total_phonemes / wall, 1),
         "mean_batch_size": stats["mean_batch_size"],
