@@ -396,3 +396,58 @@ def test_http_503_on_overload(encoder):
     finally:
         server.shutdown()
         server.batcher.close()
+
+
+def test_batcher_concurrency_stress():
+    """200 submits from 16 threads with jittered arrivals and a jittered
+    worker: every future resolves to ITS OWN text's encoding, batches
+    never mix buckets, and the counters reconcile exactly."""
+    import random
+
+    class _JitterStub(_StubEncoder):
+        def __call__(self, texts):
+            time.sleep(random.Random(len(texts)).uniform(0, 0.004))
+            return super().__call__(texts)
+
+    stub = _JitterStub()
+    buckets = (4, 8, 16)
+    rng = random.Random(7)
+    texts = [
+        "abcdefghijklmnop"[: rng.randint(1, 16)] + str(i % 7)
+        for i in range(200)
+    ]
+    results = {}
+    with DynamicBatcher(
+        stub, max_batch=8, max_wait_ms=2.0, seq_buckets=buckets
+    ) as b:
+        def client(chunk):
+            local_rng = random.Random(id(chunk) % 1000)
+            for t in chunk:
+                time.sleep(local_rng.uniform(0, 0.002))
+                results[t] = b.encode(t, timeout=30)
+
+        # unique texts so the result map is unambiguous
+        unique = list(dict.fromkeys(texts))
+        chunks = [unique[i::16] for i in range(16)]
+        threads = [threading.Thread(target=client, args=(c,)) for c in chunks]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        stats = b.stats()
+
+    # every request came back with its own payload
+    for t, (hidden, length) in results.items():
+        assert length == min(len(t), 16)
+        np.testing.assert_array_equal(hidden, float(sum(map(ord, t))))
+    # no batch ever mixed buckets
+    bucket = lambda t: next(
+        (i for i, bk in enumerate(buckets) if bk >= len(t)), len(buckets) - 1
+    )
+    for call in stub.calls:
+        assert len({bucket(t) for t in call}) == 1
+        assert len(call) <= 8
+    # counters reconcile: all submits were batched exactly once
+    assert stats["requests"] == len(results)
+    assert sum(len(c) for c in stub.calls) == len(results)
+    assert stats["rejected"] == 0 and stats["errors"] == 0
