@@ -20,7 +20,12 @@ Routes
   Add ``"round": k`` to round values to k decimals (smaller payloads).
 - ``GET /healthz`` — liveness + model shape.
 - ``GET /stats`` — batching counters (requests, batches,
-  mean_batch_size, pending, errors).
+  mean_batch_size, pending, errors, rejected) + submit→result latency
+  percentiles.
+- ``GET /metrics`` — the same counters in Prometheus text exposition
+  format (scrape route for production monitoring).
+
+A Python wrapper for this API lives in ``serving/client.py``.
 
 Run::
 
@@ -38,6 +43,40 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from pl_bert_tpu.serving.batcher import DynamicBatcher, QueueFull
+
+
+def _prometheus_text(stats: dict) -> str:
+    """Batcher counters → Prometheus text exposition (the ``/metrics``
+    scrape route — production monitoring without any dependency)."""
+    lines = []
+
+    def emit(name: str, kind: str, help_text: str, value, labels: str = ""):
+        lines.append(f"# HELP plbert_{name} {help_text}")
+        lines.append(f"# TYPE plbert_{name} {kind}")
+        lines.append(f"plbert_{name}{labels} {value}")
+
+    emit("requests_total", "counter", "Requests admitted to the queue",
+         stats["requests"])
+    emit("batches_total", "counter", "Encoder forwards executed",
+         stats["batches"])
+    emit("rejected_total", "counter",
+         "Requests rejected by max_pending backpressure", stats["rejected"])
+    emit("errors_total", "counter", "Requests failed in the encoder",
+         stats["errors"])
+    emit("pending", "gauge", "Requests queued, not yet batched",
+         stats["pending"])
+    emit("mean_batch_size", "gauge", "Mean requests per encoder forward",
+         stats["mean_batch_size"])
+    lat = stats.get("latency_ms")
+    if lat:
+        lines.append("# HELP plbert_request_latency_ms submit-to-result "
+                     "latency of recent requests")
+        lines.append("# TYPE plbert_request_latency_ms summary")
+        for q, key in (("0.5", "p50"), ("0.95", "p95"), ("1", "max")):
+            lines.append(
+                f'plbert_request_latency_ms{{quantile="{q}"}} {lat[key]}'
+            )
+    return "\n".join(lines) + "\n"
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -63,6 +102,15 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, {"ok": True, **self.model_info})
         elif self.path == "/stats":
             self._reply(200, self.batcher.stats())
+        elif self.path == "/metrics":
+            body = _prometheus_text(self.batcher.stats()).encode("utf-8")
+            self.send_response(200)
+            self.send_header(
+                "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+            )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._reply(404, {"error": f"no route {self.path}"})
 

@@ -451,3 +451,87 @@ def test_batcher_concurrency_stress():
     assert stats["requests"] == len(results)
     assert sum(len(c) for c in stub.calls) == len(results)
     assert stats["rejected"] == 0 and stats["errors"] == 0
+
+
+# --- Python client + /metrics ------------------------------------------------
+
+
+def test_client_roundtrip_and_metrics(encoder):
+    from pl_bert_tpu.serving.client import ServingClient
+
+    server = make_server(encoder, port=0, max_wait_ms=20.0)
+    serve_in_thread(server)
+    client = ServingClient(
+        f"http://127.0.0.1:{server.server_address[1]}", timeout_s=60.0
+    )
+    try:
+        assert client.healthz()["hidden_size"] == 32
+
+        direct_h, direct_l = encoder(["qalam"])
+        hidden, length = client.encode("qalam")
+        assert length == int(direct_l[0])
+        np.testing.assert_allclose(
+            hidden, direct_h[0, : direct_l[0]], atol=1e-5
+        )
+
+        results = client.encode(["ab", "bajt ʃams"], round_decimals=4)
+        assert [r[1] for r in results] == [2, len("bajt ʃams")]
+        assert results[0][0].shape == (2, 32)
+
+        stats = client.stats()
+        assert stats["requests"] >= 3
+
+        # Prometheus exposition: counters present and consistent
+        import urllib.request
+
+        with urllib.request.urlopen(
+            client.base_url + "/metrics", timeout=10
+        ) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert f"plbert_requests_total {stats['requests']}" in text
+        assert "# TYPE plbert_requests_total counter" in text
+        assert "plbert_rejected_total 0" in text
+        assert 'plbert_request_latency_ms{quantile="0.5"}' in text
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
+def test_client_error_mapping(encoder):
+    from pl_bert_tpu.serving.client import (
+        ServerOverloaded,
+        ServingClient,
+        ServingError,
+    )
+
+    server = make_server(encoder, port=0, max_wait_ms=0.0, max_pending=1)
+    real = server.batcher._encode_fn
+    server.batcher._encode_fn = lambda texts: (time.sleep(0.3), real(texts))[1]
+    serve_in_thread(server)
+    client = ServingClient(f"http://127.0.0.1:{server.server_address[1]}")
+    try:
+        with pytest.raises(ServingError, match="non-empty"):
+            client.encode([])
+
+        # flood from threads until the bounded queue pushes back
+        overloaded = []
+
+        def hammer(i):
+            try:
+                client.encode(f"t{i}")
+            except ServerOverloaded as e:
+                overloaded.append(e)
+
+        threads = [
+            threading.Thread(target=hammer, args=(i,)) for i in range(6)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert overloaded and overloaded[0].retry_after_s >= 1.0
+        assert overloaded[0].status == 503
+    finally:
+        server.shutdown()
+        server.batcher.close()
