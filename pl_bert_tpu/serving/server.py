@@ -290,6 +290,15 @@ def main(argv=None) -> None:
         f"buckets {kwargs['seq_buckets']})",
         flush=True,
     )
+
+    import signal
+    import sys
+
+    # graceful drain on SIGTERM (what an orchestrator sends): exit
+    # serve_forever via the same path as Ctrl-C, so the finally block
+    # stops the listener and batcher.close() finishes every admitted
+    # request before the process exits
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -297,6 +306,7 @@ def main(argv=None) -> None:
     finally:
         server.shutdown()
         server.batcher.close()  # type: ignore[attr-defined]
+        print("server drained and stopped", flush=True)
 
 
 if __name__ == "__main__":
