@@ -155,17 +155,29 @@ class PhonemeEncoder:
         )
         return hidden
 
+    def dispatch(self, phoneme_strings: list[str]):
+        """Host encode + launch the device forward WITHOUT fetching the
+        result: JAX dispatch is asynchronous, so this returns as soon as
+        the computation is enqueued on the device. Pair with
+        :meth:`fetch` — the split lets a serving loop overlap batch
+        N+1's forward with batch N's device→host transfer
+        (serving/batcher.py ``pipeline_depth``)."""
+        ids, mask, lengths = self.encode_batch(phoneme_strings)
+        return self.forward(ids, mask), lengths, len(phoneme_strings)
+
+    @staticmethod
+    def fetch(handle) -> tuple[np.ndarray, np.ndarray]:
+        """Block until a :meth:`dispatch` handle's forward is done and
+        return ``(hidden [B, L, H] fp32, lengths [B])`` on host."""
+        hidden, lengths, n = handle
+        return np.asarray(hidden, dtype=np.float32)[:n], lengths
+
     def __call__(self, phoneme_strings: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """→ (hidden_states [B, L, H] fp32, lengths [B]); B is the number
         of input strings regardless of any fixed batch padding. L is
         max_seq_length, or the call's chosen bucket under seq_buckets —
         row i's valid prefix is hidden[i, :lengths[i]] either way."""
-        ids, mask, lengths = self.encode_batch(phoneme_strings)
-        hidden = self.forward(ids, mask)
-        return (
-            np.asarray(hidden, dtype=np.float32)[: len(phoneme_strings)],
-            lengths,
-        )
+        return self.fetch(self.dispatch(phoneme_strings))
 
 
 def main(argv=None) -> None:

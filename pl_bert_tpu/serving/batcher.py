@@ -93,6 +93,14 @@ class DynamicBatcher:
         not-yet-batched requests, :meth:`submit` raises
         :class:`QueueFull` instead of enqueueing (overload → fast 503,
         not unbounded latency). None = unbounded (trusted callers).
+    pipeline_depth:
+        Number of batches allowed in flight on the device at once.
+        1 (default) = dispatch and fetch in the same worker loop.
+        >1 exploits JAX's asynchronous dispatch: the worker launches
+        batch N+1's forward while a completer thread blocks on batch
+        N's device→host fetch, overlapping transfer with compute.
+        Requires an encoder with split ``dispatch``/``fetch`` phases
+        (``PhonemeEncoder`` has them).
 
     Each submitted string resolves to ``(hidden [length, H] fp32,
     length)`` — the VALID PREFIX of its row, so results are identical
@@ -107,12 +115,26 @@ class DynamicBatcher:
         max_wait_ms: float = 5.0,
         seq_buckets: tuple[int, ...] | None = None,
         max_pending: int | None = None,
+        pipeline_depth: int = 1,
     ) -> None:
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         if max_pending is not None and max_pending < 1:
             raise ValueError(f"max_pending must be >= 1, got {max_pending}")
+        if pipeline_depth < 1:
+            raise ValueError(
+                f"pipeline_depth must be >= 1, got {pipeline_depth}"
+            )
+        if pipeline_depth > 1 and not (
+            hasattr(encode_fn, "dispatch") and hasattr(encode_fn, "fetch")
+        ):
+            raise ValueError(
+                "pipeline_depth > 1 needs an encoder with split "
+                "dispatch/fetch phases (PhonemeEncoder has them); a plain "
+                "encode_fn callable cannot overlap dispatch with fetch"
+            )
         self._encode_fn = encode_fn
+        self.pipeline_depth = int(pipeline_depth)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self.seq_buckets = (
@@ -134,6 +156,19 @@ class DynamicBatcher:
         self._latencies: collections.deque[float] = collections.deque(
             maxlen=2048
         )
+        self._completer: threading.Thread | None = None
+        if self.pipeline_depth > 1:
+            import queue as _queue
+
+            # worker → completer FIFO of (batch, dispatch handle);
+            # the semaphore bounds device-side in-flight batches
+            self._inflight: _queue.Queue = _queue.Queue()
+            self._slots = threading.Semaphore(self.pipeline_depth)
+            self._completer = threading.Thread(
+                target=self._complete_loop, name="plbert-completer",
+                daemon=True,
+            )
+            self._completer.start()
         self._worker = threading.Thread(
             target=self._run, name="plbert-batcher", daemon=True
         )
@@ -206,11 +241,15 @@ class DynamicBatcher:
             return out
 
     def close(self, timeout: float = 10.0) -> None:
-        """Drain remaining requests, then stop the worker."""
+        """Drain remaining requests, then stop the worker(s)."""
         with self._cond:
             self._closed = True
             self._cond.notify_all()
         self._worker.join(timeout=timeout)
+        if self._completer is not None:
+            # the worker queued a drain sentinel on exit; the completer
+            # resolves every still-in-flight batch before seeing it
+            self._completer.join(timeout=timeout)
 
     def __enter__(self) -> "DynamicBatcher":
         return self
@@ -256,26 +295,69 @@ class DynamicBatcher:
             self._queue = [p for p in self._queue if id(p) not in taken]
             return batch
 
+    def _fail(self, batch: list[_Pending], exc: Exception) -> None:
+        with self._lock:
+            self._n_errors += len(batch)
+        for p in batch:
+            p.future.set_exception(exc)
+
+    def _resolve(self, batch: list[_Pending], hidden, lengths) -> None:
+        with self._lock:
+            self._n_batches += 1
+            self._n_batched_items += len(batch)
+            self._max_batch_seen = max(self._max_batch_seen, len(batch))
+        done = time.monotonic()
+        for i, p in enumerate(batch):
+            n = int(lengths[i])
+            p.future.set_result((np.asarray(hidden[i, :n]), n))
+        with self._lock:
+            self._latencies.extend(done - p.t_submit for p in batch)
+
     def _run(self) -> None:
         while True:
             batch = self._cut_batch()
             if batch is None:
+                if self._completer is not None:
+                    self._inflight.put(None)  # drain sentinel
                 return
+            if self._completer is None:
+                try:
+                    hidden, lengths = self._encode_fn(
+                        [p.text for p in batch]
+                    )
+                except Exception as exc:  # noqa: BLE001 — routed to callers
+                    self._fail(batch, exc)
+                    continue
+                self._resolve(batch, hidden, lengths)
+            else:
+                # pipelined: enqueue the forward on the device and move
+                # straight on to cutting the next batch — the completer
+                # thread blocks on the device→host fetch instead of us
+                self._slots.acquire()
+                try:
+                    handle = self._encode_fn.dispatch(
+                        [p.text for p in batch]
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    self._slots.release()
+                    self._fail(batch, exc)
+                    continue
+                self._inflight.put((batch, handle))
+
+    def _complete_loop(self) -> None:
+        """pipeline_depth > 1: resolve dispatched batches in FIFO order
+        (device results are fetched here, overlapping the worker's next
+        dispatch)."""
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            batch, handle = item
             try:
-                hidden, lengths = self._encode_fn([p.text for p in batch])
-            except Exception as exc:  # noqa: BLE001 — routed to callers
-                with self._lock:
-                    self._n_errors += len(batch)
-                for p in batch:
-                    p.future.set_exception(exc)
+                hidden, lengths = self._encode_fn.fetch(handle)
+            except Exception as exc:  # noqa: BLE001
+                self._fail(batch, exc)
                 continue
-            with self._lock:
-                self._n_batches += 1
-                self._n_batched_items += len(batch)
-                self._max_batch_seen = max(self._max_batch_seen, len(batch))
-            done = time.monotonic()
-            for i, p in enumerate(batch):
-                n = int(lengths[i])
-                p.future.set_result((np.asarray(hidden[i, :n]), n))
-            with self._lock:
-                self._latencies.extend(done - p.t_submit for p in batch)
+            finally:
+                self._slots.release()
+            self._resolve(batch, hidden, lengths)

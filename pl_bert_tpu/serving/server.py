@@ -169,6 +169,7 @@ def make_server(
     max_batch: int | None = None,
     max_wait_ms: float = 5.0,
     max_pending: int | None = None,
+    pipeline_depth: int = 1,
 ) -> ThreadingHTTPServer:
     """Build (but do not start) the serving HTTP server.
 
@@ -198,6 +199,7 @@ def make_server(
     batcher = DynamicBatcher(
         encoder, max_batch, max_wait_ms=max_wait_ms,
         seq_buckets=encoder.seq_buckets, max_pending=max_pending,
+        pipeline_depth=pipeline_depth,
     )
 
     class Handler(_Handler):
@@ -250,6 +252,9 @@ def main(argv=None) -> None:
     parser.add_argument("--max_pending", type=int, default=None,
                         help="queue-depth bound; at capacity new requests "
                              "get 503 + Retry-After (default: unbounded)")
+    parser.add_argument("--pipeline_depth", type=int, default=1,
+                        help=">1 overlaps batch N+1's device forward with "
+                             "batch N's device->host fetch (async dispatch)")
     parser.add_argument("--int8", action="store_true",
                         help="dynamic int8 dense projections (ops/quant.py)")
     parser.add_argument("--buckets", default="",
@@ -282,7 +287,7 @@ def main(argv=None) -> None:
     server = make_server(
         enc, args.host, args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        max_pending=args.max_pending,
+        max_pending=args.max_pending, pipeline_depth=args.pipeline_depth,
     )
     print(
         f"serving on http://{args.host}:{server.server_address[1]} "

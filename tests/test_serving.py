@@ -535,3 +535,96 @@ def test_client_error_mapping(encoder):
     finally:
         server.shutdown()
         server.batcher.close()
+
+
+# --- pipelined dispatch/fetch ------------------------------------------------
+
+
+class _SplitStub(_StubEncoder):
+    """Stub with dispatch/fetch phases: dispatch is instant (device
+    enqueue), fetch sleeps (device compute + transfer). Timestamps let
+    tests PROVE dispatch N+1 overlapped fetch N."""
+
+    def __init__(self, fetch_delay_s: float = 0.05, fetch_poison=None):
+        super().__init__()
+        self.fetch_delay_s = fetch_delay_s
+        self.fetch_poison = fetch_poison
+        self.dispatch_times: list[tuple[float, list[str]]] = []
+        self.fetch_done_times: list[tuple[float, list[str]]] = []
+
+    def dispatch(self, texts):
+        self.dispatch_times.append((time.monotonic(), list(texts)))
+        return list(texts)
+
+    def fetch(self, handle):
+        time.sleep(self.fetch_delay_s)
+        if self.fetch_poison is not None and self.fetch_poison in handle:
+            raise RuntimeError("fetch failed")
+        out = super().__call__(handle)
+        self.fetch_done_times.append((time.monotonic(), list(handle)))
+        return out
+
+
+def test_pipeline_overlaps_dispatch_with_fetch():
+    stub = _SplitStub(fetch_delay_s=0.08)
+    with DynamicBatcher(
+        stub, max_batch=1, max_wait_ms=0.0, pipeline_depth=2
+    ) as b:
+        futures = [b.submit(f"t{i}") for i in range(4)]
+        results = [f.result(timeout=10) for f in futures]
+    for i, (hidden, length) in enumerate(results):
+        np.testing.assert_array_equal(
+            hidden, float(sum(map(ord, f"t{i}")))
+        )
+    # batch 1 was dispatched before batch 0's fetch completed — the
+    # overlap a serial loop cannot produce (its dispatch 1 would wait
+    # out fetch 0's 80 ms sleep first)
+    assert stub.dispatch_times[1][0] < stub.fetch_done_times[0][0]
+    assert b.stats()["batches"] == 4 and b.stats()["errors"] == 0
+
+
+def test_pipeline_matches_direct_encoder(encoder):
+    direct = {}
+    for t in TEXTS:
+        hidden, lengths = encoder([t])
+        direct[t] = hidden[0, : lengths[0]]
+    with DynamicBatcher(
+        encoder, max_batch=4, max_wait_ms=20.0, pipeline_depth=3
+    ) as b:
+        futures = [b.submit(t) for t in TEXTS]
+        results = [f.result(timeout=60) for f in futures]
+    for t, (hidden, length) in zip(TEXTS, results):
+        assert length == len(direct[t])
+        np.testing.assert_allclose(hidden, direct[t], atol=1e-5)
+
+
+def test_pipeline_fetch_error_routes_to_callers():
+    stub = _SplitStub(fetch_delay_s=0.0, fetch_poison="bad")
+    with DynamicBatcher(
+        stub, max_batch=8, max_wait_ms=5.0, pipeline_depth=2
+    ) as b:
+        f_bad = b.submit("bad")
+        with pytest.raises(RuntimeError, match="fetch failed"):
+            f_bad.result(timeout=10)
+        hidden, length = b.encode("ok", timeout=10)  # worker survives
+        assert length == 2
+    assert b.stats()["errors"] >= 1
+
+
+def test_pipeline_close_drains_inflight():
+    stub = _SplitStub(fetch_delay_s=0.05)
+    b = DynamicBatcher(
+        stub, max_batch=1, max_wait_ms=0.0, pipeline_depth=3
+    )
+    futures = [b.submit(f"t{i}") for i in range(5)]
+    b.close()  # several batches still in flight at this point
+    for i, f in enumerate(futures):
+        hidden, _ = f.result(timeout=1)  # already resolved by close()
+        np.testing.assert_array_equal(
+            hidden, float(sum(map(ord, f"t{i}")))
+        )
+
+
+def test_pipeline_requires_split_encoder():
+    with pytest.raises(ValueError, match="dispatch/fetch"):
+        DynamicBatcher(_StubEncoder(), max_batch=2, pipeline_depth=2)

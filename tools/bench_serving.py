@@ -126,6 +126,9 @@ def main(argv=None) -> None:
                         help="disable bucket-aware batch formation (A/B "
                              "control: mixed-length batches pad to the "
                              "longest rider's bucket)")
+    parser.add_argument("--pipeline_depth", type=int, default=1,
+                        help=">1 overlaps the next batch's device forward "
+                             "with the previous batch's fetch")
     args = parser.parse_args(argv)
 
     import jax
@@ -162,6 +165,7 @@ def main(argv=None) -> None:
         server = make_server(
             enc, port=0, max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms,
+            pipeline_depth=args.pipeline_depth,
         )
         serve_in_thread(server)
         url = f"http://127.0.0.1:{server.server_address[1]}/encode"
@@ -182,6 +186,7 @@ def main(argv=None) -> None:
         batcher = DynamicBatcher(
             enc, args.max_batch, max_wait_ms=args.max_wait_ms,
             seq_buckets=None if args.flat_batching else enc.seq_buckets,
+            pipeline_depth=args.pipeline_depth,
         )
 
         def call(text: str) -> None:
@@ -205,6 +210,7 @@ def main(argv=None) -> None:
         "max_wait_ms": args.max_wait_ms,
         "buckets": list(enc.seq_buckets) if enc.seq_buckets else None,
         "bucket_batching": batcher.seq_buckets is not None,
+        "pipeline_depth": args.pipeline_depth,
         "requests_per_sec": round(args.requests / wall, 1),
         "phonemes_per_sec": round(total_phonemes / wall, 1),
         "mean_batch_size": stats["mean_batch_size"],
