@@ -11,7 +11,9 @@ import numpy as np
 import pytest
 
 pytestmark = pytest.mark.skipif(
-    jax.default_backend() != "tpu", reason="requires a real TPU"
+    # this rig's tunnel backend self-reports as "axon", not "tpu"
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="requires a real TPU",
 )
 
 
@@ -109,3 +111,45 @@ def test_light_primal_dropout_streams_match_saving_forward():
             fullwidth, expect, got,
         )
     os.environ.pop("PLBERT_ATTN_FULLWIDTH", None)
+
+
+def test_serving_stack_on_chip():
+    """The full online-serving stack against the real chip: flagship
+    encoder, bucket-aware dynamic batching, pipelined dispatch — every
+    coalesced/bucketed/pipelined result must equal a direct encoder
+    call (exercises real async dispatch + device→host fetch, which CPU
+    tests can only approximate)."""
+    from pl_bert_tpu.config import ModelParams
+    from pl_bert_tpu.models.albert import build_model, init_params
+    from pl_bert_tpu.models.inference import PhonemeEncoder
+    from pl_bert_tpu.serving.batcher import DynamicBatcher
+
+    mp = ModelParams()  # flagship ALBERT-base shape
+    params = init_params(build_model(mp, "fp32"), 512, seed=0)["encoder"]
+    enc = PhonemeEncoder(
+        params, mp, max_seq_length=512, mixed_precision="bf16",
+        batch_size=8, seq_buckets=(64, 128, 256),
+    )
+    rng = np.random.default_rng(0)
+    alphabet = list("ɑɐɒæbdfɡhijklmnopqrstuvwz ")
+    texts = [
+        "".join(rng.choice(alphabet, size=n))
+        for n in (12, 30, 60, 110, 240, 30, 12, 500, 60, 29)
+    ]
+    direct = {}
+    for t in texts:
+        hidden, lengths = enc([t])
+        direct[t] = hidden[0, : lengths[0]]
+
+    with DynamicBatcher(
+        enc, max_batch=8, max_wait_ms=30.0,
+        seq_buckets=enc.seq_buckets, pipeline_depth=2,
+    ) as b:
+        futures = [b.submit(t) for t in texts]
+        results = [f.result(timeout=300) for f in futures]
+    for t, (hidden, length) in zip(texts, results):
+        assert length == len(direct[t])
+        np.testing.assert_allclose(hidden, direct[t], atol=1e-5)
+    stats = b.stats()
+    assert stats["errors"] == 0
+    assert stats["batches"] < stats["requests"]  # real coalescing
