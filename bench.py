@@ -877,6 +877,16 @@ def _run_with_retry(argv: list[str]) -> None:
             watchdog.cancel()  # don't let it fire during the backoff sleep
         traceback.print_exc()
         if not device_mode or attempt >= max_attempts:
+            # structured last line so a driver parsing stdout records an
+            # explicit environment failure, not an empty/garbled result
+            print(
+                json.dumps({
+                    "bench_failed": f"all {attempt} attempts errored "
+                                    "(axon tunnel down?) — see stderr",
+                    "mode": " ".join(argv) or "default",
+                }),
+                flush=True,
+            )
             raise
         # progressive modes (--scale, --accum, --gate) may already have
         # printed partial JSON rows; mark the abort on stdout so a
