@@ -31,6 +31,7 @@ class PhonemeEncoder:
         batch_size: int | None = None,
         quantize: str | None = None,
         seq_buckets: tuple[int, ...] | None = None,
+        device=None,
     ) -> None:
         """``batch_size``: pad every call's batch dimension to this fixed
         size so XLA compiles the forward ONCE — without it each distinct
@@ -48,7 +49,14 @@ class PhonemeEncoder:
         roughly linearly while keeping the compile count bounded at
         ``len(buckets) + 1`` shapes. Valid-prefix hidden states are
         identical either way (padding is masked out of attention), so
-        this is latency shaping, not a numerics change."""
+        this is latency shaping, not a numerics change.
+
+        ``device``: pin this encoder to one device (a ``jax.Device``).
+        Params are committed there and every forward runs there — the
+        replica-per-chip serving story (serving/pool.py): ALBERT-base
+        needs no sharding to fit, so a multi-chip host serves fastest
+        as independent replicas, one per chip, not one sharded model
+        paying ICI hops per token."""
         import dataclasses
 
         dtype = jnp.bfloat16 if mixed_precision == "bf16" else jnp.float32
@@ -56,6 +64,9 @@ class PhonemeEncoder:
         if quantize is not None:
             self.cfg = dataclasses.replace(self.cfg, quantize=quantize)
         self.model = AlbertModel(self.cfg)
+        self.device = device
+        if device is not None:
+            params = jax.device_put(params, device)
         self.params = params
         self.max_seq_length = max_seq_length
         self.batch_size = batch_size
@@ -78,6 +89,22 @@ class PhonemeEncoder:
         self._forward = jax.jit(
             functools.partial(self.model.apply, deterministic=True)
         )
+
+    def clone_to(self, device) -> "PhonemeEncoder":
+        """A replica of this encoder pinned to ``device``: shares the
+        model (and jit cache — executables key on input placement, so
+        each device compiles its own) with params committed there.
+        The replica-per-chip building block (serving/pool.py)."""
+        c = object.__new__(PhonemeEncoder)
+        c.cfg = self.cfg
+        c.model = self.model
+        c.device = device
+        c.params = jax.device_put(self.params, device)
+        c.max_seq_length = self.max_seq_length
+        c.batch_size = self.batch_size
+        c.seq_buckets = self.seq_buckets
+        c._forward = self._forward
+        return c
 
     # --- constructors ------------------------------------------------------
     @classmethod
@@ -150,9 +177,13 @@ class PhonemeEncoder:
     def forward(self, ids, mask):
         """Device side: the jitted encoder forward → hidden states
         (device array, NOT fetched to host)."""
-        hidden, _ = self._forward(
-            {"params": self.params}, jnp.asarray(ids), jnp.asarray(mask)
-        )
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        if self.device is not None:
+            # committed inputs keep the whole computation (and result)
+            # on this replica's pinned device
+            ids = jax.device_put(ids, self.device)
+            mask = jax.device_put(mask, self.device)
+        hidden, _ = self._forward({"params": self.params}, ids, mask)
         return hidden
 
     def dispatch(self, phoneme_strings: list[str]):

@@ -6,3 +6,4 @@ from pl_bert_tpu.serving.client import (  # noqa: F401
     ServingClient,
     ServingError,
 )
+from pl_bert_tpu.serving.pool import ReplicaPool  # noqa: F401

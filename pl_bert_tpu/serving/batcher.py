@@ -216,6 +216,14 @@ class DynamicBatcher:
         """Synchronous convenience wrapper around :meth:`submit`."""
         return self.submit(phoneme_string).result(timeout=timeout)
 
+    @property
+    def pending(self) -> int:
+        """Queued-but-not-yet-batched request count (cheap: no latency
+        sort — the load-balancing signal serving/pool.py polls per
+        submit)."""
+        with self._lock:
+            return len(self._queue)
+
     def stats(self) -> dict:
         """Serving counters (also exposed at the HTTP ``/stats`` route)."""
         with self._lock:

@@ -201,12 +201,11 @@ def make_server(
         seq_buckets=encoder.seq_buckets, max_pending=max_pending,
         pipeline_depth=pipeline_depth,
     )
+    return _assemble_server(batcher, _model_info(encoder), host, port)
 
-    class Handler(_Handler):
-        pass
 
-    Handler.batcher = batcher
-    Handler.model_info = {
+def _model_info(encoder) -> dict:
+    return {
         "hidden_size": int(encoder.cfg.hidden_size),
         "max_seq_length": int(encoder.max_seq_length),
         "batch_size": encoder.batch_size,
@@ -214,9 +213,33 @@ def make_server(
             list(encoder.seq_buckets) if encoder.seq_buckets else None
         ),
     }
+
+
+def _assemble_server(batcher, model_info: dict, host, port):
+    """``batcher`` is anything with the DynamicBatcher surface
+    (submit/stats/close) — a single batcher or a serving/pool.py
+    ReplicaPool."""
+
+    class Handler(_Handler):
+        pass
+
+    Handler.batcher = batcher
+    Handler.model_info = model_info
     server = ThreadingHTTPServer((host, port), Handler)
     server.batcher = batcher  # type: ignore[attr-defined]
     return server
+
+
+def make_pool_server(
+    pool,
+    host: str = "127.0.0.1",
+    port: int = 0,
+) -> ThreadingHTTPServer:
+    """HTTP server over a serving/pool.py ``ReplicaPool`` (model info
+    for /healthz comes from the first replica's encoder)."""
+    info = _model_info(pool.encoders[0])
+    info["replicas"] = pool.replicas
+    return _assemble_server(pool, info, host, port)
 
 
 def serve_in_thread(server: ThreadingHTTPServer) -> threading.Thread:
@@ -255,6 +278,10 @@ def main(argv=None) -> None:
     parser.add_argument("--pipeline_depth", type=int, default=1,
                         help=">1 overlaps batch N+1's device forward with "
                              "batch N's device->host fetch (async dispatch)")
+    parser.add_argument("--replicas", type=int, default=1,
+                        help="serve N independent replicas, one pinned per "
+                             "local device (0 = one per available device); "
+                             "requests balance to the least-loaded replica")
     parser.add_argument("--int8", action="store_true",
                         help="dynamic int8 dense projections (ops/quant.py)")
     parser.add_argument("--buckets", default="",
@@ -279,20 +306,42 @@ def main(argv=None) -> None:
     else:
         enc = PhonemeEncoder.from_hf_export(args.hf_dir, **kwargs)
 
-    # warm the compile cache before accepting traffic: one forward per
-    # bucket shape, so the first real request never eats a compile
-    for bk in enc.seq_buckets or (enc.max_seq_length,):
-        enc(["a" * min(bk, enc.max_seq_length)])
+    if args.replicas == 1:
+        # warm the compile cache before accepting traffic: one forward
+        # per bucket shape, so the first real request never eats a
+        # compile
+        for bk in enc.seq_buckets or (enc.max_seq_length,):
+            enc(["a" * min(bk, enc.max_seq_length)])
+        server = make_server(
+            enc, args.host, args.port,
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            max_pending=args.max_pending,
+            pipeline_depth=args.pipeline_depth,
+        )
+    else:
+        import jax
 
-    server = make_server(
-        enc, args.host, args.port,
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        max_pending=args.max_pending, pipeline_depth=args.pipeline_depth,
-    )
+        from pl_bert_tpu.serving.pool import ReplicaPool
+
+        devices = jax.local_devices()
+        n = len(devices) if args.replicas == 0 else args.replicas
+        if n > len(devices):
+            parser.error(
+                f"--replicas {n} exceeds the {len(devices)} local devices"
+            )
+        pool = ReplicaPool.from_encoder(
+            enc, devices[:n],
+            max_wait_ms=args.max_wait_ms, max_pending=args.max_pending,
+            pipeline_depth=args.pipeline_depth,
+        )
+        for replica in pool.encoders:  # warm every replica's shapes
+            for bk in replica.seq_buckets or (replica.max_seq_length,):
+                replica(["a" * min(bk, replica.max_seq_length)])
+        server = make_pool_server(pool, args.host, args.port)
     print(
         f"serving on http://{args.host}:{server.server_address[1]} "
         f"(max_batch {args.max_batch}, max_wait {args.max_wait_ms} ms, "
-        f"buckets {kwargs['seq_buckets']})",
+        f"buckets {kwargs['seq_buckets']}, replicas {args.replicas})",
         flush=True,
     )
 
