@@ -129,6 +129,10 @@ def main(argv=None) -> None:
     parser.add_argument("--pipeline_depth", type=int, default=1,
                         help=">1 overlaps the next batch's device forward "
                              "with the previous batch's fetch")
+    parser.add_argument("--replicas", type=int, default=1,
+                        help="engine path only: load-balance across N "
+                             "device-pinned replicas (0 = all local "
+                             "devices)")
     args = parser.parse_args(argv)
 
     import jax
@@ -181,6 +185,19 @@ def main(argv=None) -> None:
                 json.loads(resp.read())
 
         batcher = server.batcher
+    elif args.replicas != 1:
+        from pl_bert_tpu.serving.pool import ReplicaPool
+
+        devices = jax.local_devices()
+        n = len(devices) if args.replicas == 0 else args.replicas
+        server = None
+        batcher = ReplicaPool.from_encoder(
+            enc, devices[:n], max_wait_ms=args.max_wait_ms,
+            pipeline_depth=args.pipeline_depth,
+        )
+        for replica in batcher.encoders:  # warm every replica's shapes
+            for bk in replica.seq_buckets or (replica.max_seq_length,):
+                replica(["a" * bk])
     else:
         server = None
         batcher = DynamicBatcher(
@@ -188,6 +205,8 @@ def main(argv=None) -> None:
             seq_buckets=None if args.flat_batching else enc.seq_buckets,
             pipeline_depth=args.pipeline_depth,
         )
+
+    if not args.http:
 
         def call(text: str) -> None:
             batcher.encode(text, timeout=120)
@@ -209,8 +228,11 @@ def main(argv=None) -> None:
         "max_batch": args.max_batch,
         "max_wait_ms": args.max_wait_ms,
         "buckets": list(enc.seq_buckets) if enc.seq_buckets else None,
-        "bucket_batching": batcher.seq_buckets is not None,
+        "bucket_batching": getattr(
+            batcher, "seq_buckets", enc.seq_buckets
+        ) is not None,
         "pipeline_depth": args.pipeline_depth,
+        "replicas": getattr(batcher, "replicas", 1),
         "requests_per_sec": round(args.requests / wall, 1),
         "phonemes_per_sec": round(total_phonemes / wall, 1),
         "mean_batch_size": stats["mean_batch_size"],
