@@ -156,3 +156,26 @@ def test_pool_http_front_end(template_encoder):
     finally:
         server.shutdown()
         pool.close()
+
+
+def test_bench_serving_tool_replicas_contract(capsys):
+    """tools/bench_serving.py --replicas routes the load through a
+    ReplicaPool (CPU smoke on the virtual mesh)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    import bench_serving
+
+    bench_serving.main(
+        ["--tiny", "--requests", "16", "--concurrency", "8",
+         "--max_batch", "4", "--replicas", "2", "--max_wait_ms", "2"]
+    )
+    import json
+
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert record["replicas"] == 2
+    assert record["requests_per_sec"] > 0
+    assert record["metric"] == "serving_load_engine"
