@@ -516,6 +516,7 @@ def run_preprocess(n: int = 2000) -> None:
             timeout=pp.timeout,
             max_try_count=pp.max_try_count,
             num_shards=16,
+            hang_safe=True,  # what main_clean passes — measure prod path
         )
         engine_dt = time.perf_counter() - t0
         cleaned = load_processed_dataset(out)

@@ -117,6 +117,7 @@ def main_clean(config: Config, local_dataset_path: str | None = None) -> str:
         timeout=pp.timeout,
         max_try_count=pp.max_try_count,
         num_shards=pp.num_shards,
+        hang_safe=True,  # pure-Python normalization cannot wedge
     )
     _finish_stage(shard_root)
     return out
@@ -234,6 +235,7 @@ def main_tokenize(
         timeout=pp.timeout,
         max_try_count=pp.max_try_count,
         num_shards=min(pp.num_shards, 100),
+        hang_safe=True,  # pure-Python word tokenizer cannot wedge
     )
     _finish_stage(shard_root)
     from pl_bert_tpu.preprocess.shard_engine import iter_processed_dataset

@@ -90,6 +90,42 @@ def _load_records(directory: str) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+def auto_inline(max_workers: int) -> bool:
+    """Should a hang-safe stage skip worker processes? True when there
+    is no parallelism to be had (one worker requested, or a one-core
+    host, where fork+teardown per shard only SLOWS the stage — measured
+    ~2× on this rig, BASELINE.md preprocess section). Overridable with
+    PLBERT_INLINE_SHARDS=0/1."""
+    env = os.environ.get("PLBERT_INLINE_SHARDS", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return max_workers <= 1 or (os.cpu_count() or 2) <= 1
+
+
+def process_shards_inline(
+    missing: list[int],
+    root: str,
+    dataset,
+    num_shards: int,
+    process_fn: Callable,
+    process_args: Any = None,
+) -> list[int]:
+    """Sequential in-process variant of :func:`process_missing_shards`
+    for HANG-SAFE stages (pure-Python clean/tokenize; never espeak):
+    identical shard dirs, atomic renames, and resume semantics — minus
+    the per-shard fork/teardown and the timeout kill (an exception
+    fails just that shard; the retry loop above still applies)."""
+    failed = []
+    for i in missing:
+        try:
+            _worker(i, root, dataset, num_shards, process_fn, process_args)
+        except Exception as e:  # noqa: BLE001 — shard-granular failure
+            print(f"Error processing shard {i}: {e!r}")
+            failed.append(i)
+    done = get_existing_shards(root)
+    return [i for i in missing if i not in done]
+
+
 def process_missing_shards(
     missing: list[int],
     root: str,
@@ -235,11 +271,21 @@ def process_dataset(
     timeout: float = 3600,
     max_try_count: int = 3,
     num_shards: int = 100,
+    hang_safe: bool = False,
 ) -> str:
-    """Shard → process (parallel, resumable, retried) → combine → save."""
+    """Shard → process (parallel, resumable, retried) → combine → save.
+
+    ``hang_safe``: the stage cannot wedge in native code (pure-Python
+    clean/tokenize, not espeak) — lets :func:`auto_inline` drop the
+    worker processes where they only cost (single worker or one-core
+    host)."""
     os.makedirs(root_directory, exist_ok=True)
     all_shards = list(range(num_shards))
     missing: list[int] = []
+    inline = hang_safe and auto_inline(max_workers)
+    if inline:
+        print("shard engine: inline mode (hang-safe stage, no parallelism "
+              "to gain from worker processes)")
 
     for attempt in range(1, max_try_count + 1):
         existing = get_existing_shards(root_directory)
@@ -247,10 +293,16 @@ def process_dataset(
         if not missing:
             break
         print(f"Attempt {attempt}/{max_try_count}: {len(missing)} shards to process")
-        missing = process_missing_shards(
-            missing, root_directory, dataset, num_shards,
-            max_workers, timeout, process_fn, process_args,
-        )
+        if inline:
+            missing = process_shards_inline(
+                missing, root_directory, dataset, num_shards,
+                process_fn, process_args,
+            )
+        else:
+            missing = process_missing_shards(
+                missing, root_directory, dataset, num_shards,
+                max_workers, timeout, process_fn, process_args,
+            )
         if not missing:
             break
         if attempt < max_try_count:

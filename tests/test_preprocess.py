@@ -447,3 +447,57 @@ def test_clean_language_validated():
 
     with _pytest.raises(ConfigError):
         Config.from_dict({"preprocess_params": {"clean_language": "fr"}})
+
+
+def test_inline_engine_matches_process_engine(tmp_path, monkeypatch):
+    """hang_safe + single-worker drops the fork-per-shard machinery
+    (shard_engine.process_shards_inline) with identical outputs, shard
+    markers, partial-failure handling, and resume semantics."""
+    from pl_bert_tpu.preprocess.shard_engine import auto_inline
+
+    monkeypatch.setenv("PLBERT_INLINE_SHARDS", "1")
+    assert auto_inline(25) is True  # env override wins
+    monkeypatch.setenv("PLBERT_INLINE_SHARDS", "0")
+    assert auto_inline(1) is False
+    monkeypatch.delenv("PLBERT_INLINE_SHARDS")
+    assert auto_inline(1) is True  # one worker: nothing to parallelize
+
+    data = [{"id": str(i), "text": f"sample {i}"} for i in range(20)]
+    out = process_dataset(
+        data, str(tmp_path / "s1"), lambda t: t.upper(), output_dir="out",
+        max_workers=1, timeout=30, max_try_count=1, num_shards=5,
+        hang_safe=True,
+    )
+    records = load_processed_dataset(out)
+    assert [r["text"] for r in records] == [
+        f"SAMPLE {i}".upper() for i in range(20)
+    ]
+    assert get_existing_shards(str(tmp_path / "s1")) == set()
+
+    # partial failure: the bad shard fails, others save; rerun resumes
+    marker = tmp_path / "fail_once"
+    marker.write_text("")
+    path = str(marker)
+
+    def flaky(t):
+        if "x3" in t and os.path.exists(path):
+            raise RuntimeError("injected")
+        return t.upper()
+
+    data = [{"id": str(i), "text": f"x{i}"} for i in range(8)]
+    root = str(tmp_path / "s2")
+    out = process_dataset(
+        data, root, flaky, output_dir="out",
+        max_workers=1, timeout=30, max_try_count=1, num_shards=8,
+        hang_safe=True,
+    )
+    assert len(load_processed_dataset(out)) == 7
+    assert len(get_existing_shards(root)) == 7
+    os.remove(path)
+    out = process_dataset(
+        data, root, flaky, output_dir="out",
+        max_workers=1, timeout=30, max_try_count=1, num_shards=8,
+        hang_safe=True,
+    )
+    assert len(load_processed_dataset(out)) == 8
+    assert get_existing_shards(root) == set()
