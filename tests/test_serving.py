@@ -628,3 +628,69 @@ def test_pipeline_close_drains_inflight():
 def test_pipeline_requires_split_encoder():
     with pytest.raises(ValueError, match="dispatch/fetch"):
         DynamicBatcher(_StubEncoder(), max_batch=2, pipeline_depth=2)
+
+
+# --- CLI process behavior ----------------------------------------------------
+
+
+def test_server_cli_sigterm_drains(tmp_path):
+    """The serving CLI must drain gracefully on SIGTERM (what an
+    orchestrator sends): admitted requests finish, the process prints
+    the drain marker and exits 0. Spawns the real CLI (slow: one cold
+    interpreter + checkpoint load)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    from pl_bert_tpu.config import Config
+    from pl_bert_tpu.models.albert import build_model, init_params
+    from pl_bert_tpu.training.checkpoint import save_checkpoint
+    from pl_bert_tpu.training.train_step import TrainState, make_optimizer
+
+    raw = {
+        "training_params": {"output_dir": str(tmp_path), "batch_size": 4},
+        "dataset_params": {"max_seq_length": 32},
+        "model_params": {
+            "hidden_size": 32, "num_attention_heads": 2,
+            "intermediate_size": 64, "max_position_embeddings": 32,
+            "num_hidden_layers": 1, "embedding_size": 16,
+            "attention_impl": "xla",
+        },
+    }
+    cfg = Config.from_dict(raw)
+    cfg_path = tmp_path / "config.yml"
+    cfg.save(str(cfg_path))
+
+    model = build_model(cfg.model_params, "fp32")
+    params = init_params(model, 32, seed=0)
+    opt = make_optimizer(cfg.training_params)
+    save_checkpoint(str(tmp_path), 1, params, opt.init(params))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "pl_bert_tpu.serving.server",
+         "--checkpoint", str(tmp_path / "step_1"),
+         "--config_path", str(cfg_path),
+         "--port", "0"],  # port 0 = ephemeral; we never connect
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=env,
+    )
+    try:
+        # wait for the listener banner, then TERM
+        deadline = time.monotonic() + 300
+        lines = []
+        for line in proc.stdout:
+            lines.append(line)
+            if "serving on http://" in line:
+                break
+            assert time.monotonic() < deadline, lines
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        lines.append(out)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    text = "".join(lines)
+    assert "server drained and stopped" in text, text
+    assert proc.returncode == 0, (proc.returncode, text)
