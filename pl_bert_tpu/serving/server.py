@@ -338,21 +338,22 @@ def main(argv=None) -> None:
             for bk in replica.seq_buckets or (replica.max_seq_length,):
                 replica(["a" * min(bk, replica.max_seq_length)])
         server = make_pool_server(pool, args.host, args.port)
-    print(
-        f"serving on http://{args.host}:{server.server_address[1]} "
-        f"(max_batch {args.max_batch}, max_wait {args.max_wait_ms} ms, "
-        f"buckets {kwargs['seq_buckets']}, replicas {args.replicas})",
-        flush=True,
-    )
-
     import signal
     import sys
 
     # graceful drain on SIGTERM (what an orchestrator sends): exit
     # serve_forever via the same path as Ctrl-C, so the finally block
     # stops the listener and batcher.close() finishes every admitted
-    # request before the process exits
+    # request before the process exits. Registered BEFORE the readiness
+    # banner — a supervisor that TERMs right after seeing the banner
+    # must never hit the default-kill window
     signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
+    print(
+        f"serving on http://{args.host}:{server.server_address[1]} "
+        f"(max_batch {args.max_batch}, max_wait {args.max_wait_ms} ms, "
+        f"buckets {kwargs['seq_buckets']}, replicas {args.replicas})",
+        flush=True,
+    )
     try:
         server.serve_forever()
     except KeyboardInterrupt:

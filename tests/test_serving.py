@@ -677,14 +677,22 @@ def test_server_cli_sigterm_drains(tmp_path):
         text=True, env=env,
     )
     try:
-        # wait for the listener banner, then TERM
+        # wait for the listener banner, confirm the serve loop is live
+        # via /healthz, then TERM
         deadline = time.monotonic() + 300
         lines = []
+        port = None
         for line in proc.stdout:
             lines.append(line)
             if "serving on http://" in line:
+                port = int(line.split("http://127.0.0.1:")[1].split(" ")[0])
                 break
             assert time.monotonic() < deadline, lines
+        assert port, lines
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            assert json.loads(r.read())["ok"]
         proc.send_signal(signal.SIGTERM)
         out, _ = proc.communicate(timeout=60)
         lines.append(out)
