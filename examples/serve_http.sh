@@ -73,4 +73,13 @@ wait "${CURL_PIDS[@]}"
 echo "== 6. serving stats (batching + latency percentiles) =="
 curl -s "http://127.0.0.1:$PORT/stats"; echo
 
+echo "== 7. Prometheus scrape + typed Python client =="
+curl -s "http://127.0.0.1:$PORT/metrics" | head -3
+python - <<PY
+from pl_bert_tpu.serving.client import ServingClient
+client = ServingClient("http://127.0.0.1:$PORT")
+hidden, length = client.encode("mrhba", round_decimals=3)
+print(f"client.encode -> hidden {hidden.shape}, length {length}")
+PY
+
 echo "serving demo complete: server log in $WORK/server.log"
