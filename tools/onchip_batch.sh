@@ -1,0 +1,64 @@
+#!/bin/bash
+# On-chip A/B adoption batch (round 4). Runs every queued measurement from
+# rounds 3-4 against the real TPU, bounded per item, and archives each
+# result into BENCH_LEDGER.jsonl so a later tunnel death cannot lose the
+# evidence (VERDICT round 3, next-round item 6).
+#
+# Usage: bash tools/onchip_batch.sh [logdir]   (default /tmp/onchip_logs)
+# Safe to re-run: each item overwrites its own log and appends a fresh
+# ledger row (the ledger is append-only history, newest row wins).
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR="${1:-/tmp/onchip_logs}"
+mkdir -p "$LOGDIR"
+LEDGER=BENCH_LEDGER.jsonl
+SHA=$(git rev-parse --short HEAD)
+
+run_item () {
+  local name="$1" tmo="$2"; shift 2
+  local log="$LOGDIR/$name.log"
+  echo "=== [$name] $* (timeout ${tmo}s) ==="
+  timeout "$tmo" env "${ENVV[@]:-DUMMY=1}" "$@" >"$log" 2>&1
+  local rc=$?
+  # archive the last JSON object line (bench tools end with one)
+  python - "$name" "$log" "$SHA" "$rc" <<'EOF'
+import json, sys, time
+name, log, sha, rc = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+last = None
+try:
+    for line in open(log, errors="replace"):
+        s = line.strip()
+        if s.startswith("{") and s.endswith("}"):
+            try:
+                last = json.loads(s)
+            except ValueError:
+                pass
+except OSError:
+    pass
+row = {"mode": name, "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+       "sha": sha, "rc": rc, "result": last}
+with open("BENCH_LEDGER.jsonl", "a") as f:
+    f.write(json.dumps(row) + "\n")
+print(f"[{name}] rc={rc} -> {json.dumps(last)[:300] if last else 'NO JSON'}")
+EOF
+}
+
+ENVV=(DUMMY=1)
+run_item gate      2400 python bench.py --gate
+run_item default   2400 python bench.py
+run_item fused_ln  3600 python tools/bench_fused_ln.py
+run_item mtbase    2400 python bench.py --multitask
+ENVV=(PLBERT_FUSED_LM_HEAD=1)
+run_item mtfused   2400 python bench.py --multitask
+ENVV=(DUMMY=1)
+run_item infer     2400 python bench.py --inference
+run_item bucketlat 2400 python tools/measure_bucket_latency.py
+run_item servload  2400 python tools/bench_serving.py
+run_item servflat  2400 python tools/bench_serving.py --flat_batching
+run_item servpipe  2400 python tools/bench_serving.py --pipeline_depth 2
+run_item servhttp  2400 python tools/bench_serving.py --http
+run_item accum     2400 python bench.py --accum
+run_item packed    2400 python bench.py --packed
+run_item hwtests   3600 python -m pytest tests/test_tpu_hardware.py -q --no-header
+echo "=== batch complete; ledger tail: ==="
+tail -n 20 "$LEDGER"
