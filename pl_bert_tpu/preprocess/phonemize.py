@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import ctypes
 import ctypes.util
+import os
 from typing import Protocol
 
 from pl_bert_tpu.text.symbols import PUNCTUATION
@@ -84,8 +85,13 @@ class EspeakBackend:
     _INITIALIZE_DONT_EXIT = 0x8000
 
     def __init__(self, language: str = "ar", with_stress: bool = True) -> None:
+        # PLBERT_ESPEAK_LIB: explicit library path override — for hosts
+        # where libespeak-ng lives outside the default search path, and
+        # for the in-repo ABI stub (tests/espeak_stub/) that exercises
+        # this binding's FFI loop without the real library
         path = (
-            ctypes.util.find_library("espeak-ng")
+            os.environ.get("PLBERT_ESPEAK_LIB")
+            or ctypes.util.find_library("espeak-ng")
             or ctypes.util.find_library("espeak")
         )
         if path is None:
