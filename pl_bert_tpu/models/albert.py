@@ -419,10 +419,14 @@ class AlbertSelfAttention(nn.Module):
                     dropout_rate=rate, dropout_seed=seed,
                 )
         else:
+            # accumulate in fp32 for bf16/fp32 inputs, but do NOT truncate
+            # an fp64 run (the fp64 semantic-identity gate vs HF,
+            # tests/test_export.py) down to fp32 scores
+            acc_t = jnp.promote_types(jnp.float32, q.dtype)
             scores = jnp.einsum(
-                "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+                "blhd,bmhd->bhlm", q, k, preferred_element_type=acc_t
             )
-            scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+            scores = scores / jnp.sqrt(jnp.asarray(hd, acc_t))
             if attention_bias is not None:
                 scores = scores + attention_bias
             if segment_ids is not None:

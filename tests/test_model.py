@@ -154,4 +154,8 @@ def test_hf_numeric_parity(shape):
         {"params": encoder_params}, jnp.asarray(ids), jnp.asarray(mask),
         deterministic=True,
     )
-    np.testing.assert_allclose(np.asarray(flax_out), hf_out, rtol=1e-4, atol=2e-5)
+    # fp32 envelope = BLAS reduction-order rounding only (measured
+    # ceiling 2.4e-6 abs at flagship depth 12 — see
+    # tools/measure_export_parity.py; fp64 semantic identity to 4e-15
+    # is pinned in tests/test_export.py)
+    np.testing.assert_allclose(np.asarray(flax_out), hf_out, rtol=1e-5, atol=5e-6)
