@@ -77,8 +77,60 @@ ABBREVIATIONS = {
     "misc": "miscellaneous",
     "govt": "government",
     "intl": "international",
+    "int'l": "international",
     "natl": "national",
     "-": "to",
+    "w/": "with",
+    # standard place/rank/unit abbreviations (round 4: common-knowledge
+    # entries; the reference's remaining Kaggle-trained table is
+    # deliberately NOT reproduced — see PARITY.md §Plain)
+    "mtn": "mountain",
+    "cir": "circle",
+    "pvt": "private",
+    "cpl": "corporal",
+    "maj": "major",
+    "adm": "admiral",
+    "cmdr": "commander",
+    "wy": "way",
+    "pl": "place",
+    "ln": "lane",
+    "ct": "court",
+    "terr": "terrace",
+    "jct": "junction",
+    "twp": "township",
+    "yr": "year",
+    "hr": "hour",
+    "wk": "week",
+    "tues": "tuesday",
+    "thurs": "thursday",
+    "mgmt": "management",
+    "esp": "especially",
+    "sqn": "squadron",
+    "ok": "okay",
+    "cos": "cause",
+    "lb": "pound",
+    "lbs": "pounds",
+    "oz": "ounce",
+    "qty": "quantity",
+    "avg": "average",
+    "asst": "assistant",
+    "attn": "attention",
+    "appt": "appointment",
+    "amt": "amount",
+    "fwd": "forward",
+    "pct": "percent",
+    "pkg": "package",
+    "qtr": "quarter",
+    "tel": "telephone",
+    "fig": "figure",
+    "ctrl": "control",
+    "ctr": "center",
+    "mins": "minutes",
+    "crk": "creek",
+    "expwy": "expressway",
+    "tpk": "turnpike",
+    "mdw": "meadow",
+    "cuz": "cause",
 }
 
 # Regular UK→US spelling families, expanded to concrete pairs below.

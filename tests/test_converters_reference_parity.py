@@ -364,3 +364,98 @@ def test_randomized_differential_parity(ref_converters, name):
             mismatches.append((t, expected, got))
     assert checked > 200, f"generators degenerate: only {checked} comparable"
     assert not mismatches, mismatches[:10]
+
+
+# ---------------------------------------------------------------------------
+# PLAIN table divergence, quantified (VERDICT r3 next-round item 5).
+#
+# The reference's plain.json is 650 entries of Kaggle-TRAINED data
+# (reference converters/Plain.py:41 and its docstring: "trained very
+# specifically on the training data"); this build deliberately re-derives
+# a fresh table (plain_data.py) instead of copying it. The tests below
+# make that divergence exact rather than unquantified: zero value
+# disagreement on every shared key, and every non-reproduced reference
+# entry accounted for by an explicit category or whitelist.
+
+# Kaggle-training artifacts intentionally NOT reproduced: proper nouns
+# and transliterations (ke$ha, chvrches, québec, atlético, okanagan,
+# ko'olau, ali'i, pso), diacritic-folding of loanwords (café, cliché[s],
+# pate), nonstandard spellings the trained data happened to contain
+# (barbecue→"barbeque", bbq→"barbeque", troubador→"troubadour",
+# shiitake→"shitake", bravos→"bravoes", ladys→"lady's", wks→"weeks'"),
+# hyphen-preserving entries our char-filter normalizes (x-box, live-in),
+# unit/symbol entries other converters own (kg → MEASURE, "x " → the
+# range/measure context), and single-letter-ambiguous "br"→bridge.
+_PLAIN_ARTIFACT_WHITELIST = {
+    "ali'i", "atlético", "barbecue", "bbq", "br", "bravos", "café",
+    "chvrches", "cliché", "clichés", "ke$ha", "kg", "ko'olau", "ladys",
+    "live-in", "okanagan", "pate", "pso", "québec", "shiitake",
+    "troubador", "wks", "x ", "x-box",
+}
+
+
+def _plain_ref_table():
+    import json
+
+    with open(os.path.join(REF, "converters", "plain.json")) as f:
+        return json.load(f)
+
+
+def _plain_category(key, ours, ref_val):
+    import re as _re
+
+    if _re.fullmatch(r"[a-z0-9)]*\d[a-z0-9)]*", key) or key in (
+        "co)", "no)", "mgo)", "po)", "oo", "nacl", "sncl", "no ",
+    ):
+        return "chemical-formula"
+    if not _re.search(r"[a-zA-Z]", key):
+        return "emoticon-symbol"
+    if ours.replace(" ", "") == ref_val.replace(" ", ""):
+        return "german-street-spacing"
+    if _re.search(r"(is|our|re|ogue|amme|ll|ae|oe|yse)", key):
+        return "uk-us-spelling"
+    return "artifact"
+
+
+def test_plain_shared_keys_agree_exactly():
+    """Every key present in BOTH tables maps to the identical value —
+    the freshly-derived table never contradicts the reference where
+    they overlap."""
+    from pl_bert_tpu.text.converters.plain_data import PLAIN_WORDS
+
+    ref = _plain_ref_table()
+    shared = set(ref) & set(PLAIN_WORDS)
+    assert len(shared) >= 290  # keep the overlap from silently shrinking
+    divergent = {k: (PLAIN_WORDS[k], ref[k]) for k in shared
+                 if ref[k] != PLAIN_WORDS[k]}
+    assert divergent == {}
+
+
+def test_plain_behavioral_divergence_fully_accounted():
+    """Running OUR converter over every reference key: each behavioral
+    divergence falls in a documented category (regular UK→US spelling
+    families not enumerated in the fresh table, chemistry formulas,
+    emoticons, German street-name spacing) or the explicit artifact
+    whitelist — nothing unquantified remains."""
+    from pl_bert_tpu.text.converters.Plain import Plain
+
+    ref = _plain_ref_table()
+    mine = Plain()
+    unaccounted = {}
+    counts = {}
+    for key, ref_val in ref.items():
+        ours = mine.convert(key)
+        if ours == ref_val:
+            continue
+        cat = _plain_category(key, ours, ref_val)
+        counts[cat] = counts.get(cat, 0) + 1
+        if cat == "artifact" and key not in _PLAIN_ARTIFACT_WHITELIST:
+            unaccounted[key] = (ours, ref_val)
+    assert unaccounted == {}
+    # census as of round 4 — shrinking is fine (table extensions),
+    # growing means the fresh table regressed against the reference
+    assert counts.get("uk-us-spelling", 0) <= 291
+    assert counts.get("chemical-formula", 0) <= 23
+    assert counts.get("emoticon-symbol", 0) <= 6
+    assert counts.get("german-street-spacing", 0) <= 5
+    assert counts.get("artifact", 0) <= len(_PLAIN_ARTIFACT_WHITELIST)
