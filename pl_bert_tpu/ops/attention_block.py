@@ -439,17 +439,22 @@ def _block(
     )
 
 
-def _fullwidth_light_ok(L: int, E: int, P: int) -> bool:
+def _fullwidth_light_ok(L: int, E: int, P: int, itemsize: int) -> bool:
     """Shapes where the fullwidth (B,)-grid light kernel's VMEM working
     set (four [E, P] weights + six [L, P] activations + per-head [L, L]
     temporaries, NO residual saves) fits: measured on v5e at
-    L=512/E=P=768. Opt in/out with PLBERT_ATTN_FULLWIDTH (default on
-    for supported shapes; '0' forces the grouped grid for A/Bs)."""
+    L=512/E=P=768 in bf16. In fp32 the same shape needs 22.93M scoped
+    VMEM > the 16M limit (chip-measured compile OOM, round 4 — fp32
+    reaches here via flax param init, whose one tracing forward runs at
+    param dtype) — wider-than-2-byte compute falls back to the grouped
+    grid, whose per-program set is per-128-lane-group. Opt in/out with
+    PLBERT_ATTN_FULLWIDTH (default on for supported shapes; '0' forces
+    the grouped grid for A/Bs)."""
     import os
 
     if os.environ.get("PLBERT_ATTN_FULLWIDTH", "1") == "0":
         return False
-    return L <= 512 and E * P <= 768 * 768
+    return L <= 512 and E * P <= 768 * 768 and itemsize <= 2
 
 
 def _block_fwd_light(
@@ -477,7 +482,7 @@ def _block_fwd_light(
         hidden, wq_c, bq_r, wk_c, bk_r, wv_c, bv_r, wo_c, bo_r,
         bias_row, seg_row, seed,
     )
-    if _fullwidth_light_ok(L, E, P):
+    if _fullwidth_light_ok(L, E, P, jnp.dtype(cdt).itemsize):
         xf = pl.BlockSpec((1, L, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
         wf_in = pl.BlockSpec((E, P), lambda b: (0, 0), memory_space=pltpu.VMEM)
         bf_in = pl.BlockSpec((1, P), lambda b: (0, 0), memory_space=pltpu.VMEM)

@@ -229,3 +229,17 @@ def test_light_fullwidth_matches_grouped(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(full), np.asarray(grouped), atol=2e-6
     )
+
+
+def test_fullwidth_light_gate_is_dtype_aware():
+    """fp32 at the flagship shape needs 22.93M scoped VMEM — over the
+    16M limit (chip-measured compile OOM, round 4; fp32 reaches the
+    light kernel via flax param init, whose tracing forward runs at
+    param dtype). The fullwidth grid must only engage for <=2-byte
+    compute; wider falls back to the grouped (B, G) grid."""
+    from pl_bert_tpu.ops.attention_block import _fullwidth_light_ok
+
+    assert _fullwidth_light_ok(512, 768, 768, 2)
+    assert not _fullwidth_light_ok(512, 768, 768, 4)
+    assert _fullwidth_light_ok(512, 768, 768, 1)
+    assert not _fullwidth_light_ok(1024, 768, 768, 2)  # unchanged L gate
