@@ -149,10 +149,10 @@ def _build(
     train_step = make_train_step(
         model, tx, use_token_ids=use_token_ids, donate=True,
         masking_params=masking_params, grad_accum=grad_accum,
-        # PLBERT_FUSED_LM_HEAD=1 → grapheme-head CE with forward-computed
-        # gradients (ops/masked_ce.py::masked_lm_loss_fused); on-chip A/B
-        # knob for --multitask, inert for the phoneme-only modes
-        fused_lm_head=os.environ.get("PLBERT_FUSED_LM_HEAD") == "1",
+        # fused grapheme-head CE is the adopted default (round-4 chip
+        # A/B: 190.9k vs 181.2k tok/s); PLBERT_FUSED_LM_HEAD=0 forces
+        # the chunked path for A/Bs, inert for the phoneme-only modes
+        fused_lm_head=os.environ.get("PLBERT_FUSED_LM_HEAD", "1") != "0",
     )
     rng = jax.random.key(0, impl=tp.prng_impl)
     return state, train_step, rng, batch_sharding(mesh)
@@ -337,7 +337,7 @@ def run_multitask(config, mesh) -> None:
                 # lower, so this ratio is conservative
                 "baseline_anchor": "phoneme-only A100 estimate",
                 "fused_lm_head": (
-                    os.environ.get("PLBERT_FUSED_LM_HEAD") == "1"
+                    os.environ.get("PLBERT_FUSED_LM_HEAD", "1") != "0"
                 ),
             }
         )

@@ -148,8 +148,11 @@ class TrainingParams:
     # dominant [rows,H]x[H,V] matmul per step than the remat'd chunked
     # scan. Loss values are bitwise-identical to the default path;
     # gradients agree to compute-dtype rounding (the update trajectory
-    # is NOT bitwise, hence opt-in).
-    fused_lm_head: bool = False
+    # is NOT bitwise). Default ON since round 4: chip-measured +5.4%
+    # multitask step throughput (190.9k vs 181.2k tok/s, BENCH_LEDGER
+    # mtbase/mtfused); set false to reproduce the reference-exact
+    # chunked trajectory.
+    fused_lm_head: bool = True
 
     def __post_init__(self) -> None:
         # coerce EVERY float field: PyYAML parses dot-less scientific

@@ -47,10 +47,12 @@ ENVV=(DUMMY=1)
 run_item gate      2400 python bench.py --gate
 run_item default   2400 python bench.py
 run_item fused_ln  3600 python tools/bench_fused_ln.py
+# fused grapheme-head CE is the default since round 4; mtbase forces
+# the chunked path for the A/B
+ENVV=(PLBERT_FUSED_LM_HEAD=0)
 run_item mtbase    2400 python bench.py --multitask
-ENVV=(PLBERT_FUSED_LM_HEAD=1)
-run_item mtfused   2400 python bench.py --multitask
 ENVV=(DUMMY=1)
+run_item mtfused   2400 python bench.py --multitask
 run_item infer     2400 python bench.py --inference
 run_item bucketlat 2400 python tools/measure_bucket_latency.py
 run_item servload  2400 python tools/bench_serving.py
