@@ -4,18 +4,27 @@
 # result into BENCH_LEDGER.jsonl so a later tunnel death cannot lose the
 # evidence (VERDICT round 3, next-round item 6).
 #
-# Usage: bash tools/onchip_batch.sh [logdir]   (default /tmp/onchip_logs)
+# Usage: bash tools/onchip_batch.sh [logdir] [item ...]
+#   logdir defaults to /tmp/onchip_logs; with item names only those run
+#   (e.g. `bash tools/onchip_batch.sh /tmp/onchip_logs infer servload`).
 # Safe to re-run: each item overwrites its own log and appends a fresh
 # ledger row (the ledger is append-only history, newest row wins).
 set -u
 cd "$(dirname "$0")/.."
 LOGDIR="${1:-/tmp/onchip_logs}"
+shift $(( $# > 0 ? 1 : 0 ))
+ONLY=("$@")
 mkdir -p "$LOGDIR"
 LEDGER=BENCH_LEDGER.jsonl
 SHA=$(git rev-parse --short HEAD)
 
 run_item () {
   local name="$1" tmo="$2"; shift 2
+  if [ "${#ONLY[@]}" -gt 0 ]; then
+    local found=0
+    for o in "${ONLY[@]}"; do [ "$o" = "$name" ] && found=1; done
+    [ "$found" = 1 ] || return 0
+  fi
   local log="$LOGDIR/$name.log"
   echo "=== [$name] $* (timeout ${tmo}s) ==="
   timeout "$tmo" env "${ENVV[@]:-DUMMY=1}" "$@" >"$log" 2>&1
