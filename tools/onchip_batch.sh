@@ -70,6 +70,8 @@ run_item servpipe  2400 python tools/bench_serving.py --pipeline_depth 2
 run_item servhttp  2400 python tools/bench_serving.py --http
 run_item accum     2400 python bench.py --accum
 run_item packed    2400 python bench.py --packed
+ENVV=(PLBERT_TPU_TESTS=1)
 run_item hwtests   3600 python -m pytest tests/test_tpu_hardware.py -q --no-header
+ENVV=(DUMMY=1)
 echo "=== batch complete; ledger tail: ==="
 tail -n 20 "$LEDGER"
