@@ -502,6 +502,10 @@ def _block_fwd_light(
             out_shape=[jax.ShapeDtypeStruct((B, L, E), out_dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",),
+                # the bf16 working set is 16.31M with an fp32 out block
+                # — 320K over mosaic's DEFAULT 16M scoped cap (v5e has
+                # 128M VMEM/core; chip-measured compile OOM, round 4)
+                vmem_limit_bytes=64 * 1024 * 1024,
             ),
             cost_estimate=cost,
         )(*args)
