@@ -275,9 +275,12 @@ def main(argv=None) -> None:
     parser.add_argument("--max_pending", type=int, default=None,
                         help="queue-depth bound; at capacity new requests "
                              "get 503 + Retry-After (default: unbounded)")
-    parser.add_argument("--pipeline_depth", type=int, default=1,
+    parser.add_argument("--pipeline_depth", type=int, default=2,
                         help=">1 overlaps batch N+1's device forward with "
-                             "batch N's device->host fetch (async dispatch)")
+                             "batch N's device->host fetch (async "
+                             "dispatch). Default 2: chip-measured +10%% "
+                             "req/s and -12%% p50 under load (round 4); "
+                             "use 1 on hosts without a real accelerator")
     parser.add_argument("--replicas", type=int, default=1,
                         help="serve N independent replicas, one pinned per "
                              "local device (0 = one per available device); "
