@@ -326,6 +326,77 @@ def masked_lm_loss(
     return jax.lax.cond(jnp.max(counts) <= capacity, gathered, full, None)
 
 
+def masked_lm_accuracy(
+    hidden: jax.Array,  # [B, L, H]
+    kernel: jax.Array,  # [H, V] head weight (fp32 master)
+    bias: jax.Array,  # [V]
+    labels: jax.Array,  # i32 [B, L]
+    mask_positions: jax.Array,  # bool [B, L]
+    lengths: jax.Array | None = None,
+    capacity: int = 192,
+    chunk_size: int = 64,
+) -> jax.Array:
+    """Eval-only argmax accuracy against a LARGE vocabulary head — the
+    grapheme-head analog of ``masked_accuracy`` — computed without ever
+    materializing the [B, L, V] logits: the same masked-position gather
+    + chunked projection shapes as ``masked_lm_loss``. (The reference
+    validates on phoneme loss only and has no accuracy metric at all,
+    reference: train.py:288-304.)
+
+    Returns hits / valid masked positions (scalar f32; 0.0 on a
+    zero-mask batch)."""
+    B, L, H = hidden.shape
+    valid = valid_positions(mask_positions, lengths, L)
+    cdt = hidden.dtype
+    k_c = kernel.astype(cdt)
+    b_c = bias.astype(cdt)
+
+    def hits_over(h, lab, val):
+        b, l, _ = h.shape
+        csize = min(chunk_size, l)
+        while l % csize:
+            csize -= 1
+        n = l // csize
+        h_chunks = h.reshape(b, n, csize, H).transpose(1, 0, 2, 3)
+        lab_chunks = lab.reshape(b, n, csize).transpose(1, 0, 2)
+        val_chunks = val.reshape(b, n, csize).transpose(1, 0, 2)
+
+        def body(carry, xs):
+            h_k, lab_k, val_k = xs
+            logits = (jnp.dot(h_k, k_c) + b_c).astype(jnp.float32)
+            pred = jnp.argmax(logits, axis=-1)
+            hit = ((pred == lab_k) & val_k).sum().astype(jnp.float32)
+            return carry + hit, None
+
+        hits, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32),
+            (h_chunks, lab_chunks, val_chunks),
+        )
+        return hits
+
+    if capacity >= L:
+        hits = hits_over(hidden, labels, valid)
+    else:
+        counts = valid.sum(axis=1)
+
+        def gathered(_):
+            # stable argsort puts each row's valid positions first —
+            # identical gather to masked_lm_loss, so loss and accuracy
+            # always see the same positions
+            idx = jnp.argsort(~valid, axis=1, stable=True)[:, :capacity]
+            h_g = jnp.take_along_axis(hidden, idx[..., None], axis=1)
+            lab_g = jnp.take_along_axis(labels, idx, axis=1)
+            val_g = jnp.take_along_axis(valid, idx, axis=1)
+            return hits_over(h_g, lab_g, val_g)
+
+        hits = jax.lax.cond(
+            jnp.max(counts) <= capacity, gathered,
+            lambda _: hits_over(hidden, labels, valid), None,
+        )
+    denom = jnp.maximum(valid.sum(), 1).astype(jnp.float32)
+    return hits / denom
+
+
 def masked_accuracy(
     logits: jax.Array,
     labels: jax.Array,

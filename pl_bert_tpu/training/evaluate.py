@@ -21,7 +21,8 @@ Accepted checkpoint forms (everything ``load_params_only`` takes):
 
 Prints ONE JSON line:
     {"checkpoint", "val_phoneme_loss", "val_masked_accuracy",
-     "val_batches"}
+     "val_batches"} — plus {"val_token_loss", "val_token_accuracy"}
+    when the config runs the multi-task model (use_token_ids).
 """
 
 from __future__ import annotations
@@ -90,6 +91,10 @@ def evaluate(args: dict, dataset=None) -> dict:
         "val_masked_accuracy": round(acc, 6),
         "val_batches": trainer._last_val_batches,
     }
+    if trainer.last_val_extras:  # multi-task: grapheme-head metrics
+        out.update(
+            {k: round(v, 6) for k, v in trainer.last_val_extras.items()}
+        )
     print(json.dumps(out), flush=True)
     return out
 

@@ -117,7 +117,13 @@ class MetricsLogger:
         }
         self._emit(record)
 
-    def log_validation(self, step: int, epoch: int, val_loss: float, val_acc: float):
+    def log_validation(
+        self, step: int, epoch: int, val_loss: float, val_acc: float,
+        extras: dict | None = None,
+    ):
+        """``extras`` carries the multi-task grapheme-head metrics
+        (val_token_loss/val_token_accuracy) when the Trainer runs with
+        token ids; merged into the same record."""
         if not self.enabled:
             return
         self._emit(
@@ -126,13 +132,19 @@ class MetricsLogger:
                 "epoch": epoch,
                 "val_phoneme_loss": val_loss,
                 "val_masked_accuracy": val_acc,
+                **(extras or {}),
             }
         )
-        print(
+        line = (
             f"Validation at step {step}: Phoneme Loss: {val_loss:.4f} "
-            f"Masked Acc: {val_acc:.4f}",
-            flush=True,
+            f"Masked Acc: {val_acc:.4f}"
         )
+        if extras:
+            line += (
+                f" Token Loss: {extras['val_token_loss']:.4f} "
+                f"Token Acc: {extras['val_token_accuracy']:.4f}"
+            )
+        print(line, flush=True)
 
     def _emit(self, record: dict) -> None:
         if self._wandb is not None:

@@ -558,6 +558,10 @@ class Trainer:
         """→ (mean val phoneme loss, mean masked accuracy) or None on an
         empty split; also records the batch count in _last_val_batches
         (so callers don't re-run the host masking pipeline to count).
+        In multi-task mode, grapheme-head metrics land in
+        ``last_val_extras`` ({val_token_loss, val_token_accuracy}) —
+        additive over the reference, whose validation tracks the
+        phoneme head only (reference: train.py:288-304).
 
         The mean is UNWEIGHTED over per-batch means — deliberately the
         reference's exact validation statistic (reference:
@@ -570,6 +574,7 @@ class Trainer:
         vacuous 0.0 for it (which would dilute the mean toward zero)
         and the reference's torch CE returns NaN (which poisons it)."""
         losses, accs = [], []
+        t_losses, t_accs = [], []
         bs = self.config.training_params.batch_size
         tp = self.config.training_params
         eval_rng = jax.random.key(tp.seed + 1, impl=tp.prng_impl)
@@ -578,14 +583,25 @@ class Trainer:
             arrays = self._pad_batch(arrays, bs)
             # fold in the batch index so validation masking patterns are
             # independent across batches (VERDICT r1 weak #4)
-            loss, acc, n_masked = self.eval_step(
+            out = self.eval_step(
                 self.state.params, self._put(arrays), jax.random.fold_in(eval_rng, i)
             )
+            loss, acc, n_masked = out[:3]
             if int(n_masked) == 0:
                 continue
             losses.append(float(loss))
             accs.append(float(acc))
+            if len(out) == 5:  # multi-task: grapheme-head metrics too
+                t_losses.append(float(out[3]))
+                t_accs.append(float(out[4]))
         self._last_val_batches = len(losses)
+        self.last_val_extras = (
+            {
+                "val_token_loss": float(np.mean(t_losses)),
+                "val_token_accuracy": float(np.mean(t_accs)),
+            }
+            if t_losses else None
+        )
         if not losses:
             return None
         return float(np.mean(losses)), float(np.mean(accs))
@@ -656,7 +672,10 @@ class Trainer:
                     flush=True,
                 )
         else:
-            self.metrics.log_validation(self.current_step, self.start_epoch, *val)
+            self.metrics.log_validation(
+                self.current_step, self.start_epoch, *val,
+                extras=self.last_val_extras,
+            )
 
         # resume CONTINUES the checkpointed epoch from its saved batch
         # position; a fresh run starts at epoch 1, batch 0
@@ -699,7 +718,8 @@ class Trainer:
                     val = self.validate()
                     if val is not None:
                         self.metrics.log_validation(
-                            self.current_step, epoch, *val
+                            self.current_step, epoch, *val,
+                            extras=self.last_val_extras,
                         )
                 if self.current_step >= tp.num_steps:
                     if self.current_step % tp.save_interval != 0:

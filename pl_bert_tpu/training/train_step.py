@@ -24,6 +24,7 @@ import optax
 from pl_bert_tpu.config import TrainingParams
 from pl_bert_tpu.ops.masked_ce import (
     masked_accuracy,
+    masked_lm_accuracy,
     masked_lm_loss,
     masked_phoneme_loss,
 )
@@ -127,7 +128,9 @@ def _forward_loss(
             batch["lengths"],
         )
         if not compute_token_loss:
-            return loss_p, (phoneme_logits, loss_p, jnp.float32(0.0))
+            # eval: hidden rides along so make_eval_step can compute the
+            # grapheme-head metrics without a second forward
+            return loss_p, (phoneme_logits, loss_p, hidden)
         head = params["token_predictor"]
         loss_t = masked_lm_loss(
             hidden, head["kernel"], head["bias"], batch["token_ids"],
@@ -315,8 +318,16 @@ def make_train_step(
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, use_token_ids: bool = False, masking_params=None):
-    """Jitted eval step → (phoneme_loss, masked accuracy, n_masked).
+def make_eval_step(
+    model, use_token_ids: bool = False, masking_params=None,
+    token_metrics: bool | None = None,
+):
+    """Jitted eval step → (phoneme_loss, masked accuracy, n_masked) —
+    plus (token_loss, token accuracy) in multi-task mode (the reference
+    validates the phoneme head only, train.py:288-304; the grapheme
+    head's metrics are additive here, via the same gather/chunked
+    projection the training loss uses so the [B, L, 60k] logits never
+    materialize). ``token_metrics`` defaults to ``use_token_ids``.
     With ``masking_params``, masking runs on device from the provided
     rng (pass a FIXED key so validation is deterministic across runs).
 
@@ -328,10 +339,13 @@ def make_eval_step(model, use_token_ids: bool = False, masking_params=None):
     (reference: train.py:288-304 np.mean's per-batch loss.item()s,
     which an all-ignored batch poisons)."""
 
+    if token_metrics is None:
+        token_metrics = use_token_ids
+
     def step_fn(params, batch: dict, rng: jax.Array):
         if masking_params is not None:
             batch = _apply_ondevice_masking(batch, rng, masking_params)
-        _, (logits, loss_p, _) = _forward_loss(
+        _, (logits, loss_p, hidden) = _forward_loss(
             model, params, batch, None, True, use_token_ids,
             compute_token_loss=False,
         )
@@ -339,6 +353,14 @@ def make_eval_step(model, use_token_ids: bool = False, masking_params=None):
             logits, batch["label_ids"], batch["mask_positions"], batch["lengths"]
         )
         n_masked = jnp.sum(batch["mask_positions"].astype(jnp.int32))
+        if use_token_ids and token_metrics:
+            head = params["token_predictor"]
+            args = (
+                hidden, head["kernel"], head["bias"], batch["token_ids"],
+                batch["mask_positions"], batch["lengths"],
+            )
+            return loss_p, acc, n_masked, masked_lm_loss(*args), \
+                masked_lm_accuracy(*args)
         return loss_p, acc, n_masked
 
     return jax.jit(step_fn)

@@ -219,6 +219,41 @@ def test_gathered_lm_loss_matches_direct():
             )
 
 
+def test_masked_lm_accuracy_matches_full_logits():
+    """masked_lm_accuracy (gather + chunked projection, never
+    materializing [B, L, V]) equals argmax accuracy on the full logits,
+    through BOTH cond branches, jitted; 0.0 on a zero-mask batch."""
+    from pl_bert_tpu.ops.masked_ce import masked_lm_accuracy
+
+    rng = np.random.default_rng(33)
+    B, L, H, V = 4, 32, 8, 41
+    hidden = jnp.asarray(rng.standard_normal((B, L, H)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((H, V)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(V) * 0.01, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, (B, L)), jnp.int32)
+    mask = jnp.asarray(rng.random((B, L)) < 0.25)
+    lengths = jnp.asarray([32, 28, 9, 32], jnp.int32)
+
+    logits = jnp.dot(hidden, kernel) + bias
+    expect = float(masked_accuracy(logits, labels, mask, lengths))
+    assert 0.0 < expect < 1.0  # non-degenerate fixture
+
+    for capacity in (16, 4):  # 16: gather branch fits; 4: overflow fallback
+        got = jax.jit(
+            lambda h: masked_lm_accuracy(
+                h, kernel, bias, labels, mask, lengths,
+                capacity=capacity, chunk_size=8,
+            )
+        )(hidden)
+        assert abs(float(got) - expect) < 1e-6, capacity
+
+    no_mask = masked_lm_accuracy(
+        hidden, kernel, bias, labels, jnp.zeros_like(mask), lengths,
+        capacity=16, chunk_size=8,
+    )
+    assert float(no_mask) == 0.0
+
+
 # ---- fused linear CE (forward-computed gradients) ----
 
 

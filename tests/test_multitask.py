@@ -74,6 +74,43 @@ def test_multitask_training_end_to_end(tmp_path):
 
     val_loss, val_acc = trainer.validate()
     assert val_loss > 0
+    # multi-task validation additionally reports the grapheme head
+    # (additive over the reference, which validates phoneme loss only)
+    extras = trainer.last_val_extras
+    assert extras is not None
+    assert extras["val_token_loss"] > 0
+    assert 0.0 <= extras["val_token_accuracy"] <= 1.0
+
+    # the gather/chunked grapheme-head accuracy inside the eval step
+    # agrees with a direct full-logits argmax
+    import jax
+    import jax.numpy as jnp
+
+    from pl_bert_tpu.ops.masked_ce import masked_accuracy
+    from pl_bert_tpu.training.train_step import batch_to_arrays
+
+    batch = next(iter(trainer._val_batches()))
+    arrays = trainer._pad_batch(batch_to_arrays(batch), 8)
+    out = trainer.eval_step(
+        trainer.state.params, trainer._put(arrays), jax.random.key(0)
+    )
+    assert len(out) == 5
+    params = trainer.state.params
+    attn = (
+        jnp.arange(arrays["masked_ids"].shape[1])[None, :]
+        < arrays["lengths"][:, None]
+    ).astype(jnp.int32)
+    _, hidden = trainer.model.apply(
+        {"params": params}, arrays["masked_ids"], attn,
+        project_tokens=False, deterministic=True,
+    )
+    head = params["token_predictor"]
+    full_logits = hidden @ head["kernel"] + head["bias"]
+    direct = masked_accuracy(
+        full_logits, arrays["token_ids"], arrays["mask_positions"],
+        arrays["lengths"],
+    )
+    assert abs(float(out[4]) - float(direct)) < 1e-6
 
 
 # ---- multi-task THROUGH on-device masking (VERDICT r1 item 4) ----
