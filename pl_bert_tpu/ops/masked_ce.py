@@ -326,7 +326,7 @@ def masked_lm_loss(
     return jax.lax.cond(jnp.max(counts) <= capacity, gathered, full, None)
 
 
-def masked_lm_accuracy(
+def masked_lm_metrics(
     hidden: jax.Array,  # [B, L, H]
     kernel: jax.Array,  # [H, V] head weight (fp32 master)
     bias: jax.Array,  # [V]
@@ -335,23 +335,24 @@ def masked_lm_accuracy(
     lengths: jax.Array | None = None,
     capacity: int = 192,
     chunk_size: int = 64,
-) -> jax.Array:
-    """Eval-only argmax accuracy against a LARGE vocabulary head — the
-    grapheme-head analog of ``masked_accuracy`` — computed without ever
-    materializing the [B, L, V] logits: the same masked-position gather
-    + chunked projection shapes as ``masked_lm_loss``. (The reference
-    validates on phoneme loss only and has no accuracy metric at all,
-    reference: train.py:288-304.)
+) -> tuple[jax.Array, jax.Array]:
+    """Eval-only (loss, argmax accuracy) against a LARGE vocabulary
+    head in ONE chunked pass — each chunk's logits are projected once
+    and feed both the CE and the argmax, without ever materializing
+    the [B, L, V] plane. Same masked-position gather and averaging as
+    ``masked_lm_loss``, so the loss VALUE is identical to it; accuracy
+    is hits / valid masked positions (the grapheme-head analog of
+    ``masked_accuracy``). The reference validates on phoneme loss only
+    and has no accuracy metric at all (reference: train.py:288-304).
 
-    Returns hits / valid masked positions (scalar f32; 0.0 on a
-    zero-mask batch)."""
+    Both scalars are f32; a zero-mask batch yields (0.0, 0.0)."""
     B, L, H = hidden.shape
     valid = valid_positions(mask_positions, lengths, L)
     cdt = hidden.dtype
     k_c = kernel.astype(cdt)
     b_c = bias.astype(cdt)
 
-    def hits_over(h, lab, val):
+    def stats_over(h, lab, val):
         b, l, _ = h.shape
         csize = min(chunk_size, l)
         while l % csize:
@@ -362,22 +363,33 @@ def masked_lm_accuracy(
         val_chunks = val.reshape(b, n, csize).transpose(1, 0, 2)
 
         def body(carry, xs):
+            sums, counts, hits = carry
             h_k, lab_k, val_k = xs
             logits = (jnp.dot(h_k, k_c) + b_c).astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, lab_k[..., None], axis=-1
+            )[..., 0]
+            w = val_k.astype(jnp.float32)
             pred = jnp.argmax(logits, axis=-1)
             hit = ((pred == lab_k) & val_k).sum().astype(jnp.float32)
-            return carry + hit, None
+            return (
+                sums + (nll * w).sum(axis=1),
+                counts + w.sum(axis=1),
+                hits + hit,
+            ), None
 
-        hits, _ = jax.lax.scan(
-            body, jnp.zeros((), jnp.float32),
+        zeros = jnp.zeros((B,), jnp.float32)
+        (sums, counts, hits), _ = jax.lax.scan(
+            body, (zeros, zeros, jnp.zeros((), jnp.float32)),
             (h_chunks, lab_chunks, val_chunks),
         )
-        return hits
+        return sums, counts, hits
 
     if capacity >= L:
-        hits = hits_over(hidden, labels, valid)
+        sums, counts, hits = stats_over(hidden, labels, valid)
     else:
-        counts = valid.sum(axis=1)
+        row_counts = valid.sum(axis=1)
 
         def gathered(_):
             # stable argsort puts each row's valid positions first —
@@ -387,14 +399,41 @@ def masked_lm_accuracy(
             h_g = jnp.take_along_axis(hidden, idx[..., None], axis=1)
             lab_g = jnp.take_along_axis(labels, idx, axis=1)
             val_g = jnp.take_along_axis(valid, idx, axis=1)
-            return hits_over(h_g, lab_g, val_g)
+            return stats_over(h_g, lab_g, val_g)
 
-        hits = jax.lax.cond(
-            jnp.max(counts) <= capacity, gathered,
-            lambda _: hits_over(hidden, labels, valid), None,
+        sums, counts, hits = jax.lax.cond(
+            jnp.max(row_counts) <= capacity, gathered,
+            lambda _: stats_over(hidden, labels, valid), None,
         )
-    denom = jnp.maximum(valid.sum(), 1).astype(jnp.float32)
-    return hits / denom
+
+    # masked_lm_loss_chunked's exact averaging: per-sample mean over
+    # masked positions, then mean over samples with >=1 mask
+    has_mask = counts > 0
+    per_sample_mean = sums / jnp.maximum(counts, 1.0)
+    n_with_mask = has_mask.astype(jnp.float32).sum()
+    total = jnp.where(has_mask, per_sample_mean, 0.0).sum()
+    loss = jnp.where(
+        n_with_mask > 0, total / jnp.maximum(n_with_mask, 1.0), 0.0
+    )
+    acc = hits / jnp.maximum(valid.sum(), 1).astype(jnp.float32)
+    return loss, acc
+
+
+def masked_lm_accuracy(
+    hidden: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    labels: jax.Array,
+    mask_positions: jax.Array,
+    lengths: jax.Array | None = None,
+    capacity: int = 192,
+    chunk_size: int = 64,
+) -> jax.Array:
+    """The accuracy half of ``masked_lm_metrics`` (see there)."""
+    return masked_lm_metrics(
+        hidden, kernel, bias, labels, mask_positions, lengths,
+        capacity, chunk_size,
+    )[1]
 
 
 def masked_accuracy(

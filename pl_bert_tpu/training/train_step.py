@@ -24,8 +24,8 @@ import optax
 from pl_bert_tpu.config import TrainingParams
 from pl_bert_tpu.ops.masked_ce import (
     masked_accuracy,
-    masked_lm_accuracy,
     masked_lm_loss,
+    masked_lm_metrics,
     masked_phoneme_loss,
 )
 
@@ -355,12 +355,11 @@ def make_eval_step(
         n_masked = jnp.sum(batch["mask_positions"].astype(jnp.int32))
         if use_token_ids and token_metrics:
             head = params["token_predictor"]
-            args = (
+            loss_t, acc_t = masked_lm_metrics(
                 hidden, head["kernel"], head["bias"], batch["token_ids"],
                 batch["mask_positions"], batch["lengths"],
             )
-            return loss_p, acc, n_masked, masked_lm_loss(*args), \
-                masked_lm_accuracy(*args)
+            return loss_p, acc, n_masked, loss_t, acc_t
         return loss_p, acc, n_masked
 
     return jax.jit(step_fn)

@@ -254,6 +254,44 @@ def test_masked_lm_accuracy_matches_full_logits():
     assert float(no_mask) == 0.0
 
 
+def test_masked_lm_metrics_loss_identical_to_masked_lm_loss():
+    """The fused (loss, acc) pass returns the EXACT masked_lm_loss
+    value — same gather, same chunking, same averaging — through both
+    cond branches; a zero-mask batch yields (0.0, 0.0)."""
+    from pl_bert_tpu.ops.masked_ce import masked_lm_loss, masked_lm_metrics
+
+    rng = np.random.default_rng(34)
+    B, L, H, V = 4, 32, 8, 41
+    hidden = jnp.asarray(rng.standard_normal((B, L, H)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((H, V)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(V) * 0.01, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, (B, L)), jnp.int32)
+    mask = jnp.asarray(rng.random((B, L)) < 0.25)
+    lengths = jnp.asarray([32, 28, 9, 32], jnp.int32)
+
+    for capacity in (16, 4):  # gather branch fits / overflow fallback
+        want = float(
+            masked_lm_loss(
+                hidden, kernel, bias, labels, mask, lengths,
+                capacity=capacity, chunk_size=8,
+            )
+        )
+        loss, acc = jax.jit(
+            lambda h: masked_lm_metrics(
+                h, kernel, bias, labels, mask, lengths,
+                capacity=capacity, chunk_size=8,
+            )
+        )(hidden)
+        assert float(loss) == want, capacity
+        assert 0.0 <= float(acc) <= 1.0
+
+    loss0, acc0 = masked_lm_metrics(
+        hidden, kernel, bias, labels, jnp.zeros_like(mask), lengths,
+        capacity=16, chunk_size=8,
+    )
+    assert float(loss0) == 0.0 and float(acc0) == 0.0
+
+
 # ---- fused linear CE (forward-computed gradients) ----
 
 
