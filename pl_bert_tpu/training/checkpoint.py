@@ -43,6 +43,20 @@ def find_latest_checkpoint(log_dir: str) -> tuple[bool, int]:
     return True, max(steps)
 
 
+def list_checkpoints(log_dir: str) -> list[int]:
+    """Every step_N in the run dir, ascending (empty on a missing or
+    checkpoint-free dir)."""
+    try:
+        return sorted(
+            int(m.group(1))
+            for name in os.listdir(log_dir)
+            if (m := _STEP_RE.match(name))
+            and os.path.isdir(os.path.join(log_dir, name))
+        )
+    except OSError:
+        return []
+
+
 def checkpoint_path(log_dir: str, step: int) -> str:
     return os.path.join(os.path.abspath(log_dir), f"step_{step}")
 

@@ -23,6 +23,11 @@ Prints ONE JSON line:
     {"checkpoint", "val_phoneme_loss", "val_masked_accuracy",
      "val_batches"} — plus {"val_token_loss", "val_token_accuracy"}
     when the config runs the multi-task model (use_token_ids).
+
+With ``--all`` the checkpoint argument is a run directory and EVERY
+step_N inside is scored (one JSON line each, ascending, sharing one
+jitted eval step), followed by a summary line naming the best by
+val_phoneme_loss — post-hoc checkpoint selection over a whole run.
 """
 
 from __future__ import annotations
@@ -49,12 +54,7 @@ def _resolve_checkpoint(path: str) -> str:
     return path
 
 
-def evaluate(args: dict, dataset=None) -> dict:
-    """Programmatic entry; ``dataset`` overrides the configured one
-    (same contract as training.train.train)."""
-    from pl_bert_tpu.training.checkpoint import load_params_only
-    from pl_bert_tpu.training.train import Trainer
-
+def _load_config(args: dict) -> Config:
     config = Config.load(args["config_path"])
     # evaluation must not depend on the warm-start path (and must not
     # double-load): the scored params come from --checkpoint alone
@@ -67,18 +67,18 @@ def evaluate(args: dict, dataset=None) -> dict:
         config.training_params = dataclasses.replace(
             config.training_params, training_dataset=args["dataset_path"]
         )
-    ckpt = _resolve_checkpoint(args["checkpoint"])
+    return config
 
-    with tempfile.TemporaryDirectory() as tmp:
-        # eval_only: no AdamW state allocation, no train step — scoring
-        # a checkpoint must not cost 2x-params of dead HBM
-        trainer = Trainer(config, tmp, False, dataset=dataset, eval_only=True)
-        try:
-            params = load_params_only(ckpt, trainer.state.params)
-            trainer.state = trainer.state._replace(params=params)
-            result = trainer.validate()
-        finally:
-            trainer.metrics.close()
+
+def _score(trainer, ckpt: str) -> dict:
+    """Load ``ckpt``'s params into the live trainer and validate —
+    sharing one Trainer across checkpoints reuses the jitted eval step
+    and the host-side split/masking pipeline."""
+    from pl_bert_tpu.training.checkpoint import load_params_only
+
+    params = load_params_only(ckpt, trainer.state.params)
+    trainer.state = trainer.state._replace(params=params)
+    result = trainer.validate()
     if result is None:
         raise SystemExit(
             "no usable validation batches (empty split, or masking "
@@ -97,6 +97,62 @@ def evaluate(args: dict, dataset=None) -> dict:
         )
     print(json.dumps(out), flush=True)
     return out
+
+
+def evaluate(args: dict, dataset=None) -> dict:
+    """Programmatic entry; ``dataset`` overrides the configured one
+    (same contract as training.train.train)."""
+    from pl_bert_tpu.training.train import Trainer
+
+    config = _load_config(args)
+    ckpt = _resolve_checkpoint(args["checkpoint"])
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # eval_only: no AdamW state allocation, no train step — scoring
+        # a checkpoint must not cost 2x-params of dead HBM
+        trainer = Trainer(config, tmp, False, dataset=dataset, eval_only=True)
+        try:
+            return _score(trainer, ckpt)
+        finally:
+            trainer.metrics.close()
+
+
+def evaluate_all(args: dict, dataset=None) -> list[dict]:
+    """Score EVERY step_N checkpoint in a run directory (ascending),
+    one JSON line each, then a summary line naming the best (lowest
+    val_phoneme_loss) — checkpoint selection the reference can only do
+    by re-reading wandb across restarts. Validation masking is a fixed
+    stream, so the scores are directly comparable across steps."""
+    from pl_bert_tpu.training.checkpoint import list_checkpoints
+    from pl_bert_tpu.training.train import Trainer
+
+    run_dir = args["checkpoint"]
+    steps = list_checkpoints(run_dir)
+    if not steps:
+        raise SystemExit(f"no step_N checkpoints under {run_dir!r}")
+    config = _load_config(args)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = Trainer(config, tmp, False, dataset=dataset, eval_only=True)
+        try:
+            results = [
+                _score(trainer, checkpoint_path(run_dir, step))
+                for step in steps
+            ]
+        finally:
+            trainer.metrics.close()
+    best = min(results, key=lambda r: r["val_phoneme_loss"])
+    print(
+        json.dumps(
+            {
+                "best_checkpoint": best["checkpoint"],
+                "best_val_phoneme_loss": best["val_phoneme_loss"],
+                "checkpoints_scored": len(results),
+            }
+        ),
+        flush=True,
+    )
+    return results
 
 
 def main(argv=None) -> None:
@@ -120,8 +176,14 @@ def main(argv=None) -> None:
         help="override training_params.training_dataset — score on this "
         "corpus/packed store instead",
     )
+    parser.add_argument(
+        "--all", action="store_true",
+        help="--checkpoint is a run dir: score every step_N in it "
+        "(ascending) and report the best by val_phoneme_loss",
+    )
     ns = parser.parse_args(argv)
-    evaluate({
+    fn = evaluate_all if ns.all else evaluate
+    fn({
         "checkpoint": ns.checkpoint,
         "config_path": ns.config_path,
         "dataset_path": ns.dataset_path,

@@ -86,3 +86,42 @@ def test_evaluate_matches_training_validation(tmp_path, capsys):
         dataset=corpus,
     )
     assert out2["val_phoneme_loss"] == out["val_phoneme_loss"]
+
+
+def test_evaluate_all_sweeps_run_dir(tmp_path, capsys):
+    """--all scores every step_N (ascending, one Trainer) and the
+    summary names the argmin by val_phoneme_loss; the per-checkpoint
+    scores equal single-checkpoint evaluate of the same steps."""
+    from pl_bert_tpu.training.evaluate import evaluate_all
+
+    raw = copy.deepcopy(SMOKE)
+    raw["training_params"]["output_dir"] = str(tmp_path / "ckpt")
+    raw["training_params"]["save_interval"] = 2  # -> step_2 and step_4
+    cfg_path = str(tmp_path / "cfg.yml")
+    Config.from_dict(raw).save(cfg_path)
+    corpus = make_synthetic_corpus(64, seed=1)
+    train({"config_path": cfg_path, "run_name": "run"}, dataset=corpus)
+
+    run_dir = str(tmp_path / "ckpt" / "run")
+    results = evaluate_all(
+        {"checkpoint": run_dir, "config_path": cfg_path}, dataset=corpus
+    )
+    assert [r["checkpoint"].rsplit("step_", 1)[1] for r in results] == [
+        "2", "4",
+    ]
+    single = evaluate(
+        {"checkpoint": run_dir + "/step_2", "config_path": cfg_path},
+        dataset=corpus,
+    )
+    assert results[0]["val_phoneme_loss"] == single["val_phoneme_loss"]
+
+    lines = [
+        json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{")
+    ]
+    summary = lines[-2]  # last line is `single`'s own output
+    assert summary["checkpoints_scored"] == 2
+    best = min(results, key=lambda r: r["val_phoneme_loss"])
+    assert summary["best_checkpoint"] == best["checkpoint"]
+    assert summary["best_val_phoneme_loss"] == best["val_phoneme_loss"]
