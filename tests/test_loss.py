@@ -254,15 +254,17 @@ def test_masked_lm_accuracy_matches_full_logits():
     assert float(no_mask) == 0.0
 
 
-def test_masked_lm_metrics_loss_identical_to_masked_lm_loss():
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_masked_lm_metrics_loss_identical_to_masked_lm_loss(dtype):
     """The fused (loss, acc) pass returns the EXACT masked_lm_loss
     value — same gather, same chunking, same averaging — through both
-    cond branches; a zero-mask batch yields (0.0, 0.0)."""
+    cond branches and in both compute dtypes (bf16 = the mixed-precision
+    eval path); a zero-mask batch yields (0.0, 0.0)."""
     from pl_bert_tpu.ops.masked_ce import masked_lm_loss, masked_lm_metrics
 
     rng = np.random.default_rng(34)
     B, L, H, V = 4, 32, 8, 41
-    hidden = jnp.asarray(rng.standard_normal((B, L, H)), jnp.float32)
+    hidden = jnp.asarray(rng.standard_normal((B, L, H)), dtype)
     kernel = jnp.asarray(rng.standard_normal((H, V)) * 0.05, jnp.float32)
     bias = jnp.asarray(rng.standard_normal(V) * 0.01, jnp.float32)
     labels = jnp.asarray(rng.integers(0, V, (B, L)), jnp.int32)
