@@ -17,7 +17,7 @@ training_params:
   batch_size: 4
   save_interval: 5
   log_interval: 2
-  num_steps: 5
+  num_steps: 10
   learning_rate: 1e-3
   training_dataset: "synthetic:32"
   mixed_precision: "fp32"
@@ -81,5 +81,12 @@ client = ServingClient("http://127.0.0.1:$PORT")
 hidden, length = client.encode("mrhba", round_decimals=3)
 print(f"client.encode -> hidden {hidden.shape}, length {length}")
 PY
+
+echo "== 8. zero-downtime checkpoint rollout (step_5 -> step_10) =="
+curl -s -X POST "http://127.0.0.1:$PORT/reload" \
+    -H 'Content-Type: application/json' \
+    -d "{\"checkpoint\": \"$WORK/ckpt/demo/step_10\"}"; echo
+curl -s "http://127.0.0.1:$PORT/healthz" \
+    | python -c 'import json,sys; print("now serving:", json.load(sys.stdin)["checkpoint"])'
 
 echo "serving demo complete: server log in $WORK/server.log"

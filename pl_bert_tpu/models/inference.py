@@ -90,6 +90,38 @@ class PhonemeEncoder:
             functools.partial(self.model.apply, deterministic=True)
         )
 
+    def swap_params(self, new_params: dict) -> None:
+        """Atomically adopt ``new_params`` (encoder sub-tree) for every
+        forward AFTER this call — zero-downtime checkpoint rollout for
+        serving. The new tree must match the current one exactly
+        (structure, shapes, dtypes): the jitted forward is shape-keyed,
+        so a matching tree swaps with NO recompile, and anything else is
+        a different model that belongs in a new encoder.
+
+        Thread-safe by construction: params are read once per forward
+        and rebinding an attribute is atomic under the GIL, so in-flight
+        forwards (including pipelined dispatches) finish on the old
+        weights while later batches pick up the new ones."""
+        old = jax.tree_util.tree_leaves_with_path(self.params)
+        new = jax.tree_util.tree_leaves_with_path(new_params)
+        if len(old) != len(new):
+            raise ValueError(
+                f"param tree mismatch: {len(old)} leaves now, "
+                f"{len(new)} in the reload"
+            )
+        for (ko, lo), (kn, ln) in zip(old, new):
+            if ko != kn or lo.shape != ln.shape or lo.dtype != ln.dtype:
+                raise ValueError(
+                    "param tree mismatch at "
+                    f"{jax.tree_util.keystr(kn)}: have "
+                    f"{jax.tree_util.keystr(ko)}{lo.shape}/{lo.dtype}, "
+                    f"reload has {ln.shape}/{ln.dtype} — reloads must "
+                    "keep the model shape"
+                )
+        if self.device is not None:
+            new_params = jax.device_put(new_params, self.device)
+        self.params = new_params
+
     def clone_to(self, device) -> "PhonemeEncoder":
         """A replica of this encoder pinned to ``device``: shares the
         model (and jit cache — executables key on input placement, so
@@ -107,12 +139,13 @@ class PhonemeEncoder:
         return c
 
     # --- constructors ------------------------------------------------------
-    @classmethod
-    def from_checkpoint(
-        cls, checkpoint_path: str, config: Config | str, **kwargs
-    ) -> "PhonemeEncoder":
-        """Load from a training ``step_N`` checkpoint (full-model params;
-        the encoder sub-tree is used)."""
+    @staticmethod
+    def checkpoint_encoder_params(
+        checkpoint_path: str, config: Config | str
+    ) -> dict:
+        """The encoder sub-tree of a training ``step_N`` checkpoint (or
+        reference ``.pth``) — what :meth:`from_checkpoint` builds from
+        and :meth:`swap_params` reloads."""
         from pl_bert_tpu.models.albert import build_model
         from pl_bert_tpu.training.checkpoint import load_params_only
 
@@ -120,9 +153,18 @@ class PhonemeEncoder:
             config = Config.load(config)
         model = build_model(config.model_params, "fp32")
         template = init_params(model, config.dataset_params.max_seq_length)
-        params = load_params_only(checkpoint_path, template)
+        return load_params_only(checkpoint_path, template)["encoder"]
+
+    @classmethod
+    def from_checkpoint(
+        cls, checkpoint_path: str, config: Config | str, **kwargs
+    ) -> "PhonemeEncoder":
+        """Load from a training ``step_N`` checkpoint (full-model params;
+        the encoder sub-tree is used)."""
+        if isinstance(config, str):
+            config = Config.load(config)
         return cls(
-            params["encoder"],
+            cls.checkpoint_encoder_params(checkpoint_path, config),
             config.model_params,
             config.dataset_params.max_seq_length,
             **kwargs,

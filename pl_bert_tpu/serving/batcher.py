@@ -216,6 +216,13 @@ class DynamicBatcher:
         """Synchronous convenience wrapper around :meth:`submit`."""
         return self.submit(phoneme_string).result(timeout=timeout)
 
+    def swap_params(self, new_params: dict) -> None:
+        """Roll new weights onto the encoder — delegates to
+        ``PhonemeEncoder.swap_params`` (atomic between forwards; see
+        there). Part of the shared batcher/pool surface the HTTP
+        ``/reload`` route drives."""
+        self._encode_fn.swap_params(new_params)
+
     @property
     def pending(self) -> int:
         """Queued-but-not-yet-batched request count (cheap: no latency

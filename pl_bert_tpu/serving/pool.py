@@ -100,6 +100,14 @@ class ReplicaPool:
     def encode(self, phoneme_string: str, timeout: float | None = None):
         return self.submit(phoneme_string).result(timeout=timeout)
 
+    def swap_params(self, new_params: dict) -> None:
+        """Roll ``new_params`` onto every replica (host tree loaded
+        once; each replica device_puts to its own pinned device inside
+        its encoder's swap). Validation happens per replica; the trees
+        are identical clones, so the first either all-pass or all-fail."""
+        for enc in self.encoders:
+            enc.swap_params(new_params)
+
     def stats(self) -> dict:
         per = [b.stats() for b in self._batchers]
         agg = {

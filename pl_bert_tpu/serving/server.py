@@ -24,6 +24,11 @@ Routes
   percentiles.
 - ``GET /metrics`` — the same counters in Prometheus text exposition
   format (scrape route for production monitoring).
+- ``POST /reload`` — body ``{"checkpoint": path}``: zero-downtime
+  weight rollout. The checkpoint loads on host, its tree is validated
+  against the live model's shapes, then it swaps atomically under every
+  replica — in-flight batches finish on the old weights, later batches
+  run the new ones, nothing recompiles and no request is dropped.
 
 A Python wrapper for this API lives in ``serving/client.py``.
 
@@ -83,6 +88,10 @@ class _Handler(BaseHTTPRequestHandler):
     # set per-server via make_server (class attribute on a subclass)
     batcher: DynamicBatcher
     model_info: dict
+    # checkpoint path -> encoder params host tree (set by the CLI /
+    # attach_reload; None disables the /reload route)
+    load_params = None
+    reload_lock: threading.Lock
     request_timeout_s: float = 60.0
 
     # silence per-request stderr lines; stats carries the counters
@@ -115,6 +124,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"no route {self.path}"})
 
     def do_POST(self) -> None:  # noqa: N802
+        if self.path == "/reload":
+            self._do_reload()
+            return
         if self.path != "/encode":
             self._reply(404, {"error": f"no route {self.path}"})
             return
@@ -160,6 +172,39 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(500, {"error": repr(exc)})
             return
         self._reply(200, results[0] if single else {"results": results})
+
+    def _do_reload(self) -> None:
+        """POST /reload {"checkpoint": path} — zero-downtime weight
+        rollout: loads the checkpoint on host, validates the tree shape,
+        and atomically swaps it under every replica; in-flight batches
+        finish on the old weights, no recompile, service never pauses."""
+        if type(self).load_params is None:
+            self._reply(
+                501, {"error": "reload not enabled for this server "
+                               "(no checkpoint loader attached)"}
+            )
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            ckpt = json.loads(self.rfile.read(n) or b"{}")["checkpoint"]
+        except (ValueError, KeyError) as exc:
+            self._reply(400, {"error": f"bad request: {exc!r}"})
+            return
+        # serialize concurrent reloads: the load itself is the slow part
+        # and interleaved swaps would make "which weights are live"
+        # depend on thread timing
+        with self.reload_lock:
+            try:
+                new_params = type(self).load_params(ckpt)
+                self.batcher.swap_params(new_params)
+            except (ValueError, FileNotFoundError) as exc:
+                self._reply(400, {"error": str(exc)})
+                return
+            except Exception as exc:  # noqa: BLE001 — surfaced to client
+                self._reply(500, {"error": repr(exc)})
+                return
+            self.model_info["checkpoint"] = ckpt  # /healthz shows it
+        self._reply(200, {"ok": True, "checkpoint": ckpt})
 
 
 def make_server(
@@ -225,9 +270,18 @@ def _assemble_server(batcher, model_info: dict, host, port):
 
     Handler.batcher = batcher
     Handler.model_info = model_info
+    Handler.reload_lock = threading.Lock()
     server = ThreadingHTTPServer((host, port), Handler)
     server.batcher = batcher  # type: ignore[attr-defined]
     return server
+
+
+def attach_reload(server: ThreadingHTTPServer, load_params) -> None:
+    """Enable ``POST /reload`` on a built server. ``load_params`` maps a
+    checkpoint path → encoder params host tree (e.g.
+    ``PhonemeEncoder.checkpoint_encoder_params`` with the config bound);
+    the route swaps the result onto the live batcher/pool."""
+    server.RequestHandlerClass.load_params = staticmethod(load_params)
 
 
 def make_pool_server(
@@ -303,11 +357,20 @@ def main(argv=None) -> None:
     if args.checkpoint:
         if not args.config_path:
             parser.error("--checkpoint requires --config_path")
-        enc = PhonemeEncoder.from_checkpoint(
-            args.checkpoint, args.config_path, **kwargs
-        )
+        from pl_bert_tpu.config import Config
+
+        config = Config.load(args.config_path)
+        enc = PhonemeEncoder.from_checkpoint(args.checkpoint, config, **kwargs)
+
+        def load_params(path: str) -> dict:
+            return PhonemeEncoder.checkpoint_encoder_params(path, config)
     else:
         enc = PhonemeEncoder.from_hf_export(args.hf_dir, **kwargs)
+
+        def load_params(path: str) -> dict:
+            from pl_bert_tpu.export.to_hf import load_pl_bert_model
+
+            return load_pl_bert_model(path)[0]
 
     if args.replicas == 1:
         # warm the compile cache before accepting traffic: one forward
@@ -341,6 +404,10 @@ def main(argv=None) -> None:
             for bk in replica.seq_buckets or (replica.max_seq_length,):
                 replica(["a" * min(bk, replica.max_seq_length)])
         server = make_pool_server(pool, args.host, args.port)
+    attach_reload(server, load_params)
+    server.RequestHandlerClass.model_info["checkpoint"] = (
+        args.checkpoint or args.hf_dir
+    )
     import signal
     import sys
 

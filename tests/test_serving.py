@@ -702,3 +702,128 @@ def test_server_cli_sigterm_drains(tmp_path):
     text = "".join(lines)
     assert "server drained and stopped" in text, text
     assert proc.returncode == 0, (proc.returncode, text)
+
+
+# --- hot checkpoint reload (zero-downtime weight rollout) --------------------
+
+
+def _mini_encoder(seed, hidden_size=32):
+    mp = ModelParams(
+        hidden_size=hidden_size, num_attention_heads=2,
+        intermediate_size=64, max_position_embeddings=32,
+        num_hidden_layers=1, embedding_size=16,
+        dropout=0.0, attention_impl="xla",
+    )
+    params = init_params(build_model(mp, "fp32"), 32, seed=seed)["encoder"]
+    return PhonemeEncoder(
+        params, mp, max_seq_length=32, mixed_precision="fp32", batch_size=4
+    ), params
+
+
+def test_swap_params_changes_outputs_and_validates_shape():
+    """swap_params adopts a matching tree (outputs equal a fresh encoder
+    built on the new weights) and rejects a shape-mismatched one."""
+    enc, _ = _mini_encoder(11)
+    enc2, p2 = _mini_encoder(12)
+    before = enc(["qalam"])[0]
+    enc.swap_params(p2)
+    after = enc(["qalam"])[0]
+    assert not np.allclose(before, after)
+    np.testing.assert_allclose(after, enc2(["qalam"])[0], atol=1e-6)
+
+    _, p_small = _mini_encoder(13, hidden_size=16)
+    with pytest.raises(ValueError, match="param tree mismatch"):
+        enc.swap_params(p_small)
+    # the failed swap must not have touched the live weights
+    np.testing.assert_allclose(enc(["qalam"])[0], after, atol=1e-6)
+
+
+def test_http_reload_rolls_weights_without_downtime():
+    """POST /reload swaps weights on the live server: encodes after the
+    reload match the new checkpoint, /healthz names it, a bad tree or
+    unknown path is a 400 and leaves the old weights serving."""
+    from pl_bert_tpu.serving.server import attach_reload
+
+    enc, _ = _mini_encoder(21)
+    enc_v2, p2 = _mini_encoder(22)
+    _, p_small = _mini_encoder(23, hidden_size=16)
+
+    store = {"v2": p2, "bad-shape": p_small}
+
+    def load_params(path):
+        if path not in store:
+            raise FileNotFoundError(f"no checkpoint at {path!r}")
+        return store[path]
+
+    server = make_server(enc, port=0, max_wait_ms=5.0)
+    attach_reload(server, load_params)
+    serve_in_thread(server)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        status, r_old = _post(base + "/encode", {"phonemes": "qalam"})
+        assert status == 200
+
+        status, body = _post(base + "/reload", {"checkpoint": "v2"})
+        assert status == 200 and body == {"ok": True, "checkpoint": "v2"}
+
+        status, r_new = _post(base + "/encode", {"phonemes": "qalam"})
+        assert status == 200
+        direct_h, direct_l = enc_v2(["qalam"])
+        got = np.array(r_new["hidden"], np.float32)
+        assert not np.allclose(got, np.array(r_old["hidden"], np.float32))
+        np.testing.assert_allclose(got, direct_h[0, : direct_l[0]], atol=1e-5)
+
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            assert json.loads(r.read())["checkpoint"] == "v2"
+
+        # failures are client errors and leave the v2 weights serving
+        assert _post(base + "/reload", {"checkpoint": "bad-shape"})[0] == 400
+        assert _post(base + "/reload", {"checkpoint": "missing"})[0] == 400
+        assert _post(base + "/reload", {"nope": 1})[0] == 400
+        status, r_still = _post(base + "/encode", {"phonemes": "qalam"})
+        assert status == 200
+        np.testing.assert_allclose(
+            np.array(r_still["hidden"], np.float32), got, atol=1e-6
+        )
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
+def test_http_reload_disabled_without_loader():
+    """A server with no checkpoint loader attached answers 501 (the
+    embedding API's default: reload is opt-in via attach_reload)."""
+    enc, _ = _mini_encoder(31)
+    server = make_server(enc, port=0, max_wait_ms=5.0)
+    serve_in_thread(server)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        assert _post(base + "/reload", {"checkpoint": "x"})[0] == 501
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
+def test_pool_swap_params_rolls_every_replica():
+    """ReplicaPool.swap_params updates all replicas — encodes routed to
+    any replica return the new weights' outputs."""
+    import jax
+
+    from pl_bert_tpu.serving.pool import ReplicaPool
+
+    enc, _ = _mini_encoder(41)
+    enc_v2, p2 = _mini_encoder(42)
+    devices = jax.local_devices()[:2]
+    pool = ReplicaPool.from_encoder(enc, devices, max_wait_ms=1.0)
+    try:
+        want_old = enc(["qalam"])[0][0]
+        want_new = enc_v2(["qalam"])[0][0]
+        for _ in range(4):  # round-robins across both replicas
+            h, n = pool.encode("qalam", timeout=30)
+            np.testing.assert_allclose(h[:n], want_old[:n], atol=1e-5)
+        pool.swap_params(p2)
+        for _ in range(4):
+            h, n = pool.encode("qalam", timeout=30)
+            np.testing.assert_allclose(h[:n], want_new[:n], atol=1e-5)
+    finally:
+        pool.close()
