@@ -1,6 +1,6 @@
 """Python client for the serving HTTP API.
 
-Thin stdlib-urllib wrapper so downstream consumers (e.g. a StyleTTS
+Thin stdlib wrapper so downstream consumers (e.g. a StyleTTS
 fine-tune loop reading contextual embeddings from a shared PL-BERT
 server — the reference's consumption contract, reference:
 README.md:40-47, but online instead of offline .npz files) don't
@@ -10,6 +10,16 @@ hand-roll JSON/HTTP:
     hidden, length = client.encode("mrhba balʕalm")   # [length, H] fp32
     results = client.encode(["ab", "qlm"])            # list in, list out
 
+Transport: one persistent HTTP/1.1 connection *per calling thread*
+(``http.client`` is not thread-safe, so each thread keeps its own) —
+a closed-loop consumer pays TCP connect once, not per request. The
+connection transparently reopens if the server closed it.
+
+Payload: ``encoding="b64"`` asks the server for base64-packed raw
+values instead of JSON float lists (~5x fewer bytes, ~10x with
+``dtype="float16"``) — decoded back to an ``np.ndarray`` here, so the
+call signature is identical either way.
+
 Overload (the server's 503 backpressure signal, see batcher.py) raises
 :class:`ServerOverloaded` carrying ``retry_after_s`` so callers can
 back off; other HTTP errors raise :class:`ServingError` with the
@@ -18,9 +28,11 @@ server's JSON error message.
 
 from __future__ import annotations
 
+import base64
+import http.client
 import json
-import urllib.error
-import urllib.request
+import threading
+import urllib.parse
 
 import numpy as np
 
@@ -44,47 +56,90 @@ class ServerOverloaded(ServingError):
 
 class ServingClient:
     def __init__(self, base_url: str, timeout_s: float = 60.0) -> None:
-        self.base_url = base_url.rstrip("/")
+        u = urllib.parse.urlsplit(base_url if "//" in base_url
+                                  else "http://" + base_url)
+        if u.scheme != "http":
+            raise ValueError(f"only http:// is supported, got {base_url!r}")
+        self._netloc = u.netloc
+        self.base_url = f"http://{u.netloc}"
         self.timeout_s = timeout_s
+        self._local = threading.local()  # one persistent conn per thread
 
     # --- plumbing -----------------------------------------------------------
-    def _request(self, path: str, payload: dict | None = None) -> dict:
-        if payload is None:
-            req = urllib.request.Request(self.base_url + path)
-        else:
-            req = urllib.request.Request(
-                self.base_url + path,
-                data=json.dumps(payload).encode("utf-8"),
-                headers={"Content-Type": "application/json"},
-                method="POST",
+    def _conn(self) -> http.client.HTTPConnection:
+        conn = getattr(self._local, "conn", None)
+        if conn is None:
+            conn = http.client.HTTPConnection(
+                self._netloc, timeout=self.timeout_s
             )
+            self._local.conn = conn
+        return conn
+
+    def close(self) -> None:
+        """Close this thread's persistent connection (other threads'
+        connections close when their thread-local is collected)."""
+        conn = getattr(self._local, "conn", None)
+        if conn is not None:
+            conn.close()
+            self._local.conn = None
+
+    def _request(self, path: str, payload: dict | None = None) -> dict:
+        body = None if payload is None else json.dumps(payload).encode()
+        method = "GET" if payload is None else "POST"
+        headers = {} if body is None else {"Content-Type": "application/json"}
+        conn = self._conn()
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-                return json.loads(resp.read())
-        except urllib.error.HTTPError as e:
-            try:
-                message = json.loads(e.read()).get("error", "")
-            except (ValueError, AttributeError):
-                message = str(e)
-            if e.code == 503:
-                retry_after = float(e.headers.get("Retry-After", 1) or 1)
-                raise ServerOverloaded(message, retry_after) from None
-            raise ServingError(e.code, message) from None
+            conn.request(method, path, body=body, headers=headers)
+            resp = conn.getresponse()
+        except (http.client.HTTPException, ConnectionError, OSError):
+            # stale keep-alive (server restarted / idle-closed): one
+            # reconnect, then let a second failure surface
+            conn.close()
+            conn = self._conn()
+            conn.request(method, path, body=body, headers=headers)
+            resp = conn.getresponse()
+        data = resp.read()  # always drain — keeps the connection reusable
+        if 200 <= resp.status < 300:
+            return json.loads(data)
+        try:
+            message = json.loads(data).get("error", "")
+        except ValueError:
+            message = data.decode("utf-8", "replace")
+        if resp.status == 503:
+            retry_after = float(resp.headers.get("Retry-After", 1) or 1)
+            raise ServerOverloaded(message, retry_after)
+        raise ServingError(resp.status, message)
 
     # --- API ----------------------------------------------------------------
     def encode(
-        self, phonemes: str | list[str], round_decimals: int | None = None
+        self,
+        phonemes: str | list[str],
+        round_decimals: int | None = None,
+        encoding: str | None = None,
+        dtype: str = "float32",
     ):
-        """One phoneme string → ``(hidden [length, H] fp32, length)``;
-        a list → a list of such tuples (the members batch together
-        server-side). ``round_decimals`` shrinks the JSON payload."""
+        """One phoneme string → ``(hidden [length, H], length)``; a list
+        → a list of such tuples (the members batch together server-side).
+        ``round_decimals`` shrinks the JSON payload; ``encoding="b64"``
+        switches to the binary payload (``dtype="float16"`` halves it
+        again — returned array keeps the wire dtype)."""
         payload: dict = {"phonemes": phonemes}
         if round_decimals is not None:
             payload["round"] = round_decimals
+        if encoding is not None:
+            payload["encoding"] = encoding
+            payload["dtype"] = dtype
         body = self._request("/encode", payload)
-        unpack = lambda r: (
-            np.asarray(r["hidden"], np.float32), int(r["length"])
-        )
+
+        def unpack(r: dict):
+            if "hidden_b64" in r:
+                hidden = np.frombuffer(
+                    base64.b64decode(r["hidden_b64"]), dtype=r["dtype"]
+                ).reshape(r["shape"])
+            else:
+                hidden = np.asarray(r["hidden"], np.float32)
+            return hidden, int(r["length"])
+
         if isinstance(phonemes, str):
             return unpack(body)
         return [unpack(r) for r in body["results"]]
@@ -96,3 +151,8 @@ class ServingClient:
     def stats(self) -> dict:
         """Batching counters + latency percentiles (see batcher.stats)."""
         return self._request("/stats")
+
+    def reload(self, checkpoint: str) -> dict:
+        """Zero-downtime weight rollout (``POST /reload``); raises
+        :class:`ServingError` if the server rejects the checkpoint."""
+        return self._request("/reload", {"checkpoint": checkpoint})

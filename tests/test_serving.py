@@ -827,3 +827,124 @@ def test_pool_swap_params_rolls_every_replica():
             np.testing.assert_allclose(h[:n], want_new[:n], atol=1e-5)
     finally:
         pool.close()
+
+
+# --- binary payload + keep-alive transport -----------------------------------
+
+
+def test_http_b64_encoding_matches_json(encoder):
+    """encoding=b64 returns byte-identical fp32 values to the JSON path
+    (it packs the same array), fp16 within cast tolerance, and bad
+    encoding/dtype values are 400s."""
+    import base64
+
+    server = make_server(encoder, port=0, max_wait_ms=5.0)
+    serve_in_thread(server)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        status, r_json = _post(base + "/encode", {"phonemes": "qalam"})
+        assert status == 200
+        want = np.asarray(r_json["hidden"], np.float32)
+
+        status, r = _post(
+            base + "/encode", {"phonemes": "qalam", "encoding": "b64"}
+        )
+        assert status == 200 and "hidden" not in r
+        got = np.frombuffer(
+            base64.b64decode(r["hidden_b64"]), dtype=r["dtype"]
+        ).reshape(r["shape"])
+        assert r["dtype"] == "float32" and r["length"] == r["shape"][0]
+        np.testing.assert_array_equal(got, want)
+
+        status, r16 = _post(
+            base + "/encode",
+            {"phonemes": "qalam", "encoding": "b64", "dtype": "float16"},
+        )
+        assert status == 200 and r16["dtype"] == "float16"
+        got16 = np.frombuffer(
+            base64.b64decode(r16["hidden_b64"]), dtype=np.float16
+        ).reshape(r16["shape"])
+        np.testing.assert_allclose(
+            got16.astype(np.float32), want, rtol=2e-3, atol=2e-3
+        )
+        # fp16 payload is half the fp32 one
+        assert len(r16["hidden_b64"]) <= len(r["hidden_b64"]) / 2 + 4
+
+        # list-shaped requests wrap per-item binary results
+        status, rl = _post(
+            base + "/encode", {"phonemes": ["ab", "qalam"], "encoding": "b64"}
+        )
+        assert status == 200 and len(rl["results"]) == 2
+        assert all("hidden_b64" in item for item in rl["results"])
+
+        assert _post(base + "/encode",
+                     {"phonemes": "x", "encoding": "npz"})[0] == 400
+        assert _post(base + "/encode",
+                     {"phonemes": "x", "encoding": "b64",
+                      "dtype": "int8"})[0] == 400
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
+def test_http_keepalive_reuses_connection(encoder):
+    """The server speaks HTTP/1.1 with Content-Length on every reply, so
+    one TCP connection carries many requests (urllib's per-request
+    connections still work — the existing tests cover that path)."""
+    import http.client
+
+    server = make_server(encoder, port=0, max_wait_ms=5.0)
+    serve_in_thread(server)
+    host, port = server.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    try:
+        for i in range(3):  # same socket, three request/response cycles
+            conn.request(
+                "POST", "/encode",
+                body=json.dumps({"phonemes": "qalam"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            resp = conn.getresponse()
+            assert resp.version == 11 and resp.status == 200
+            body = json.loads(resp.read())
+            assert body["length"] == 5
+        conn.request("GET", "/healthz")  # GET rides the same socket too
+        assert json.loads(conn.getresponse().read())["ok"] is True
+    finally:
+        conn.close()
+        server.shutdown()
+        server.batcher.close()
+
+
+def test_client_b64_and_persistent_connection(encoder):
+    """ServingClient: b64/fp16 decode transparently, values match the
+    default JSON path, and the thread's persistent connection survives
+    the whole sequence (plus a forced stale-connection reconnect)."""
+    from pl_bert_tpu.serving.client import ServingClient
+
+    server = make_server(encoder, port=0, max_wait_ms=5.0)
+    serve_in_thread(server)
+    client = ServingClient(
+        f"http://127.0.0.1:{server.server_address[1]}", timeout_s=30
+    )
+    try:
+        h_json, n_json = client.encode("qalam")
+        h_b64, n_b64 = client.encode("qalam", encoding="b64")
+        assert n_json == n_b64
+        np.testing.assert_array_equal(h_b64, h_json)
+        h16, _ = client.encode("qalam", encoding="b64", dtype="float16")
+        assert h16.dtype == np.float16
+        np.testing.assert_allclose(
+            h16.astype(np.float32), h_json, rtol=2e-3, atol=2e-3
+        )
+        # stale keep-alive: kill the socket under the client; the next
+        # call must transparently reconnect
+        client._local.conn.close()
+        h_again, _ = client.encode("qalam")
+        np.testing.assert_array_equal(h_again, h_json)
+        results = client.encode(["ab", "qalam"], encoding="b64")
+        assert len(results) == 2 and results[1][1] == n_json
+    finally:
+        client.close()
+        server.shutdown()
+        server.batcher.close()

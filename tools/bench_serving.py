@@ -119,6 +119,14 @@ def main(argv=None) -> None:
     parser.add_argument("--http", action="store_true",
                         help="drive the real HTTP server instead of the "
                              "batcher API (adds JSON of the hidden states)")
+    parser.add_argument("--encoding", choices=("json", "b64"),
+                        default="json",
+                        help="HTTP payload: json = round-3 float lists "
+                             "(the pre-round-4 wire format), b64 = "
+                             "base64-packed raw values")
+    parser.add_argument("--dtype", choices=("float32", "float16"),
+                        default="float32",
+                        help="value dtype for --encoding b64")
     parser.add_argument("--tiny", action="store_true",
                         help="1-layer/32-hidden model — machinery smoke "
                              "run on CPU, not a measurement")
@@ -164,7 +172,7 @@ def main(argv=None) -> None:
     total_phonemes = sum(len(t) for t in texts)
 
     if args.http:
-        import urllib.request
+        from pl_bert_tpu.serving.client import ServingClient
 
         server = make_server(
             enc, port=0, max_batch=args.max_batch,
@@ -172,17 +180,20 @@ def main(argv=None) -> None:
             pipeline_depth=args.pipeline_depth,
         )
         serve_in_thread(server)
-        url = f"http://127.0.0.1:{server.server_address[1]}/encode"
+        # one client, one persistent HTTP/1.1 connection per thread —
+        # the production transport (client.py)
+        client = ServingClient(
+            f"http://127.0.0.1:{server.server_address[1]}", timeout_s=120
+        )
+        b64 = args.encoding == "b64"
 
         def call(text: str) -> None:
-            req = urllib.request.Request(
-                url,
-                data=json.dumps({"phonemes": text, "round": 3}).encode(),
-                headers={"Content-Type": "application/json"},
-                method="POST",
+            client.encode(
+                text,
+                round_decimals=None if b64 else 3,
+                encoding="b64" if b64 else None,
+                dtype=args.dtype,
             )
-            with urllib.request.urlopen(req, timeout=120) as resp:
-                json.loads(resp.read())
 
         batcher = server.batcher
     elif args.replicas != 1:
@@ -223,6 +234,8 @@ def main(argv=None) -> None:
 
     out = {
         "metric": "serving_load" + ("_http" if args.http else "_engine"),
+        **({"encoding": args.encoding, "dtype": args.dtype}
+           if args.http else {}),
         "requests": args.requests,
         "concurrency": args.concurrency,
         "max_batch": args.max_batch,

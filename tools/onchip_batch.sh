@@ -68,6 +68,10 @@ run_item servload  2400 python tools/bench_serving.py
 run_item servflat  2400 python tools/bench_serving.py --flat_batching
 run_item servpipe  2400 python tools/bench_serving.py --pipeline_depth 2
 run_item servhttp  2400 python tools/bench_serving.py --http
+# round-4 HTTP transport work: keep-alive client (in servhttp above,
+# same json wire format as the round-4 adoption row) vs binary payloads
+run_item servb64   2400 python tools/bench_serving.py --http --encoding b64
+run_item servb16   2400 python tools/bench_serving.py --http --encoding b64 --dtype float16
 run_item accum     2400 python bench.py --accum
 run_item packed    2400 python bench.py --packed
 ENVV=(PLBERT_TPU_TESTS=1)
