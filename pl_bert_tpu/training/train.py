@@ -118,37 +118,76 @@ def setup_config_and_directories(args: dict, config_path: str):
 
 
 def make_synthetic_corpus(
-    n_samples: int, seed: int = 0, token_vocab: int = 0
+    n_samples: int, seed: int = 0, token_vocab: int = 0,
+    derivable: bool = False,
 ) -> list[dict]:
     """Random phoneme-word corpus — zero-egress stand-in for wiki shards
     (used by smoke tests and the bench harness). ``token_vocab>0`` also
-    attaches per-word grapheme token_ids (the multi-task column)."""
+    attaches per-word grapheme token_ids (the multi-task column).
+
+    ``derivable=True`` draws words from a CLOSED pool and labels each
+    with ``crc32(word) % token_vocab`` — a fixed phoneme→grapheme
+    mapping the grapheme head can actually LEARN (with independent
+    random ids every word is unique and token_loss is pinned at
+    ln(vocab); real corpora behave like the pool: a finite lexicon
+    with a deterministic word→token mapping)."""
     rng = np.random.default_rng(seed)
     alphabet = list("ɑɐɒæbdfɡhijklmnopqrstuvwzʃʒθðŋɹɾʔˈˌː")
+    make_word = lambda: "".join(
+        rng.choice(alphabet, size=int(rng.integers(2, 10)))
+    )
+    pool = None
+    if derivable:
+        import zlib
+
+        if token_vocab <= 0:
+            raise ValueError(
+                "synthetic-derivable requires a multi-task model "
+                "(num_token_vocab > 0) — its whole point is learnable "
+                "grapheme labels"
+            )
+        # lexicon scaled to the corpus: every word recurs often enough
+        # for the head to memorize its mapping
+        pool = [make_word() for _ in range(max(64, min(4096, n_samples)))]
+        tid = {w: zlib.crc32(w.encode()) % token_vocab for w in pool}
     corpus = []
     for _ in range(n_samples):
         n_words = int(rng.integers(40, 120))
-        words = [
-            "".join(rng.choice(alphabet, size=int(rng.integers(2, 10))))
-            for _ in range(n_words)
-        ]
-        record = {"phonemes": words}
-        if token_vocab > 0:
-            record["token_ids"] = rng.integers(
-                5, token_vocab, size=n_words
-            ).tolist()
+        if derivable:
+            words = [
+                pool[int(j)]
+                for j in rng.integers(0, len(pool), size=n_words)
+            ]
+            record = {
+                "phonemes": words,
+                "token_ids": [tid[w] for w in words],
+            }
+        else:
+            words = [make_word() for _ in range(n_words)]
+            record = {"phonemes": words}
+            if token_vocab > 0:
+                record["token_ids"] = rng.integers(
+                    5, token_vocab, size=n_words
+                ).tolist()
         corpus.append(record)
     return corpus
 
 
 def load_training_dataset(name: str, split: str, token_vocab: int = 0):
-    """Resolve the configured dataset: synthetic:N, a local save_to_disk
-    path, or an HF hub id (reference: train.py:242-259). For synthetic
-    corpora, ``token_vocab`` (the model's num_token_vocab) adds the
-    multi-task token_ids column."""
+    """Resolve the configured dataset: synthetic:N (or
+    synthetic-derivable:N — closed-pool corpus with crc32-derivable,
+    i.e. learnable, grapheme labels), a local save_to_disk path, or an
+    HF hub id (reference: train.py:242-259). For synthetic corpora,
+    ``token_vocab`` (the model's num_token_vocab) adds the multi-task
+    token_ids column."""
     if name.startswith("synthetic"):
         n = int(name.split(":", 1)[1]) if ":" in name else 2048
-        return make_synthetic_corpus(n, token_vocab=token_vocab)
+        derivable = name.split(":", 1)[0] in (
+            "synthetic-derivable", "synthetic_derivable"
+        )
+        return make_synthetic_corpus(
+            n, token_vocab=token_vocab, derivable=derivable
+        )
     if os.path.isdir(name):
         from pl_bert_tpu.data.packed_store import is_packed_store
 

@@ -345,3 +345,70 @@ def test_fused_lm_head_trajectory_matches_default(tmp_path):
     np.testing.assert_allclose(
         np.asarray(fus), np.asarray(ref), rtol=5e-4, atol=1e-5
     )
+
+
+def test_synthetic_derivable_corpus_is_learnable(tmp_path):
+    """`training_dataset: synthetic-derivable:N` produces a closed word
+    pool with crc32-derivable grapheme labels: the mapping is consistent
+    (same word -> same token id, = crc32 % vocab), and a short
+    multi-task run LEARNS it — token accuracy far above chance, unlike
+    the plain synthetic corpus whose random ids pin token_loss at
+    ln(vocab)."""
+    import math
+    import zlib
+
+    from pl_bert_tpu.training.train import load_training_dataset
+
+    T = 40
+    corpus = load_training_dataset("synthetic-derivable:64", "train",
+                                   token_vocab=T)
+    assert len(corpus) == 64
+    seen: dict[str, int] = {}
+    for rec in corpus:
+        assert len(rec["phonemes"]) == len(rec["token_ids"])
+        for w, t in zip(rec["phonemes"], rec["token_ids"]):
+            assert t == zlib.crc32(w.encode()) % T
+            assert seen.setdefault(w, t) == t
+    # closed pool: words recur (64-word lexicon for a 64-sample corpus)
+    assert len(seen) < sum(len(r["phonemes"]) for r in corpus) / 10
+
+    raw = {
+        "training_params": {
+            "output_dir": str(tmp_path / "ckpt"),
+            "batch_size": 8,
+            "save_interval": 1000,
+            "log_interval": 20,
+            "num_steps": 120,
+            "learning_rate": 2e-3,
+            "training_dataset": "synthetic-derivable:64",
+            "mixed_precision": "fp32",
+        },
+        "dataset_params": {"max_seq_length": 64, "word_separator": 30},
+        "model_params": {
+            "hidden_size": 64,
+            "num_attention_heads": 4,
+            "intermediate_size": 128,
+            "max_position_embeddings": 64,
+            "num_hidden_layers": 2,
+            "embedding_size": 32,
+            "attention_impl": "xla",
+            "num_token_vocab": T,
+        },
+    }
+    config = Config.from_dict(raw)
+    trainer = Trainer(config, str(tmp_path / "run"), False)
+    trainer.train()
+    rows = [
+        r for r in (
+            json.loads(line)
+            for line in open(str(tmp_path / "run") + "/metrics.jsonl")
+        )
+        if "token_loss" in r
+    ]
+    last = rows[-1]
+    # grapheme head learned the crc32 mapping: loss well below the
+    # ln(vocab) plateau random labels sit at
+    assert last["token_loss"] < 0.6 * math.log(T), last
+    assert last["token_loss"] < rows[0]["token_loss"] * 0.5, (
+        rows[0], last,
+    )

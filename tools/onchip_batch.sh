@@ -72,6 +72,7 @@ run_item servhttp  2400 python tools/bench_serving.py --http
 # same json wire format as the round-4 adoption row) vs binary payloads
 run_item servb64   2400 python tools/bench_serving.py --http --encoding b64
 run_item servb16   2400 python tools/bench_serving.py --http --encoding b64 --dtype float16
+run_item mtrun     7200 python tools/run_integrated_multitask.py
 run_item accum     2400 python bench.py --accum
 run_item packed    2400 python bench.py --packed
 ENVV=(PLBERT_TPU_TESTS=1)
