@@ -91,9 +91,23 @@ class ServingClient:
         try:
             conn.request(method, path, body=body, headers=headers)
             resp = conn.getresponse()
-        except (http.client.HTTPException, ConnectionError, OSError):
-            # stale keep-alive (server restarted / idle-closed): one
-            # reconnect, then let a second failure surface
+        except TimeoutError:
+            # a slow server is NOT a dead connection: re-sending would
+            # double-submit the POST (and double server load exactly when
+            # it is overloaded) — surface the timeout to the caller
+            conn.close()
+            self._local.conn = None
+            raise
+        except (
+            ConnectionError,
+            http.client.BadStatusLine,
+            http.client.NotConnected,
+            http.client.CannotSendRequest,
+            BrokenPipeError,
+        ):
+            # stale keep-alive (server restarted / idle-closed the
+            # socket before any response bytes arrived): one reconnect,
+            # then let a second failure surface
             conn.close()
             conn = self._conn()
             conn.request(method, path, body=body, headers=headers)
@@ -133,9 +147,11 @@ class ServingClient:
 
         def unpack(r: dict):
             if "hidden_b64" in r:
+                # .copy(): frombuffer views are read-only — both payload
+                # paths must return equivalent writable arrays
                 hidden = np.frombuffer(
                     base64.b64decode(r["hidden_b64"]), dtype=r["dtype"]
-                ).reshape(r["shape"])
+                ).reshape(r["shape"]).copy()
             else:
                 hidden = np.asarray(r["hidden"], np.float32)
             return hidden, int(r["length"])

@@ -105,6 +105,10 @@ class _Handler(BaseHTTPRequestHandler):
     # checkpoint path -> encoder params host tree (set by the CLI /
     # attach_reload; None disables the /reload route)
     load_params = None
+    # /reload hardening (attach_reload): realpath prefix every reload
+    # path must live under, and/or a shared-secret X-Reload-Token
+    reload_root: str | None = None
+    reload_token: str | None = None
     reload_lock: threading.Lock
     request_timeout_s: float = 60.0
 
@@ -137,16 +141,26 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._reply(404, {"error": f"no route {self.path}"})
 
+    def _read_body(self) -> bytes:
+        """Drain the request body unconditionally — under HTTP/1.1
+        keep-alive a reply that leaves body bytes in the socket desyncs
+        the persistent connection (the next request line parses from the
+        middle of the stale body and 400s confusingly)."""
+        n = int(self.headers.get("Content-Length", 0))
+        return self.rfile.read(n) if n else b""
+
     def do_POST(self) -> None:  # noqa: N802
+        # drain FIRST, before any routing decision, so every error path
+        # (404, 501, 400) leaves the keep-alive stream clean
+        raw = self._read_body()
         if self.path == "/reload":
-            self._do_reload()
+            self._do_reload(raw)
             return
         if self.path != "/encode":
             self._reply(404, {"error": f"no route {self.path}"})
             return
         try:
-            n = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(n) or b"{}")
+            req = json.loads(raw or b"{}")
             phonemes = req["phonemes"]
         except (ValueError, KeyError) as exc:
             self._reply(400, {"error": f"bad request: {exc!r}"})
@@ -209,23 +223,45 @@ class _Handler(BaseHTTPRequestHandler):
             return
         self._reply(200, results[0] if single else {"results": results})
 
-    def _do_reload(self) -> None:
+    def _do_reload(self, raw: bytes) -> None:
         """POST /reload {"checkpoint": path} — zero-downtime weight
         rollout: loads the checkpoint on host, validates the tree shape,
         and atomically swaps it under every replica; in-flight batches
-        finish on the old weights, no recompile, service never pauses."""
+        finish on the old weights, no recompile, service never pauses.
+
+        Hardening (the route loads and serves an arbitrary readable
+        file): ``reload_token`` requires a matching X-Reload-Token
+        header, ``reload_root`` rejects any checkpoint whose realpath
+        escapes that directory — the CLI defaults the root to the
+        serving checkpoint's parent (the run dir of step_N siblings)."""
         if type(self).load_params is None:
             self._reply(
                 501, {"error": "reload not enabled for this server "
                                "(no checkpoint loader attached)"}
             )
             return
+        cls = type(self)
+        if cls.reload_token is not None and (
+            self.headers.get("X-Reload-Token") != cls.reload_token
+        ):
+            self._reply(403, {"error": "missing or wrong X-Reload-Token"})
+            return
         try:
-            n = int(self.headers.get("Content-Length", 0))
-            ckpt = json.loads(self.rfile.read(n) or b"{}")["checkpoint"]
+            ckpt = json.loads(raw or b"{}")["checkpoint"]
         except (ValueError, KeyError) as exc:
             self._reply(400, {"error": f"bad request: {exc!r}"})
             return
+        if cls.reload_root is not None:
+            import os
+
+            root = os.path.realpath(cls.reload_root)
+            real = os.path.realpath(str(ckpt))
+            if not (real == root or real.startswith(root + os.sep)):
+                self._reply(
+                    403, {"error": f"checkpoint outside the allowed "
+                                   f"reload root {cls.reload_root!r}"}
+                )
+                return
         # serialize concurrent reloads: the load itself is the slow part
         # and interleaved swaps would make "which weights are live"
         # depend on thread timing
@@ -312,12 +348,26 @@ def _assemble_server(batcher, model_info: dict, host, port):
     return server
 
 
-def attach_reload(server: ThreadingHTTPServer, load_params) -> None:
+def attach_reload(
+    server: ThreadingHTTPServer,
+    load_params,
+    root: str | None = None,
+    token: str | None = None,
+) -> None:
     """Enable ``POST /reload`` on a built server. ``load_params`` maps a
     checkpoint path → encoder params host tree (e.g.
     ``PhonemeEncoder.checkpoint_encoder_params`` with the config bound);
-    the route swaps the result onto the live batcher/pool."""
-    server.RequestHandlerClass.load_params = staticmethod(load_params)
+    the route swaps the result onto the live batcher/pool.
+
+    ``root`` restricts reloads to checkpoints under that directory
+    (realpath-prefix check → 403 outside it); ``token`` additionally
+    requires the ``X-Reload-Token`` header to match. Embedded/test use
+    may leave both None (unrestricted); the serving CLI always sets a
+    root."""
+    handler = server.RequestHandlerClass
+    handler.load_params = staticmethod(load_params)
+    handler.reload_root = root
+    handler.reload_token = token
 
 
 def make_pool_server(
@@ -381,6 +431,16 @@ def main(argv=None) -> None:
                         help="comma-separated sequence-length buckets, e.g. "
                              "64,128,256 — short requests run at short "
                              "padded lengths")
+    parser.add_argument("--reload_root", default=None,
+                        help="directory POST /reload checkpoints must live "
+                             "under (realpath-prefix check). Default: the "
+                             "serving checkpoint's parent directory — the "
+                             "run dir whose step_N siblings are the "
+                             "hot-rollout use case")
+    parser.add_argument("--reload_token", default=None,
+                        help="shared secret: /reload then requires a "
+                             "matching X-Reload-Token header (recommended "
+                             "with a non-loopback --host)")
     args = parser.parse_args(argv)
 
     kwargs: dict = {
@@ -440,7 +500,13 @@ def main(argv=None) -> None:
             for bk in replica.seq_buckets or (replica.max_seq_length,):
                 replica(["a" * min(bk, replica.max_seq_length)])
         server = make_pool_server(pool, args.host, args.port)
-    attach_reload(server, load_params)
+    import os
+
+    reload_root = args.reload_root or os.path.dirname(
+        os.path.realpath(args.checkpoint or args.hf_dir)
+    )
+    attach_reload(server, load_params, root=reload_root,
+                  token=args.reload_token)
     server.RequestHandlerClass.model_info["checkpoint"] = (
         args.checkpoint or args.hf_dir
     )

@@ -119,7 +119,8 @@ def setup_config_and_directories(args: dict, config_path: str):
 
 def make_synthetic_corpus(
     n_samples: int, seed: int = 0, token_vocab: int = 0,
-    derivable: bool = False,
+    derivable: bool = False, pool_size: int | None = None,
+    words_per_sample: tuple[int, int] = (40, 120),
 ) -> list[dict]:
     """Random phoneme-word corpus — zero-egress stand-in for wiki shards
     (used by smoke tests and the bench harness). ``token_vocab>0`` also
@@ -130,7 +131,23 @@ def make_synthetic_corpus(
     mapping the grapheme head can actually LEARN (with independent
     random ids every word is unique and token_loss is pinned at
     ln(vocab); real corpora behave like the pool: a finite lexicon
-    with a deterministic word→token mapping)."""
+    with a deterministic word→token mapping). Word ORDER in derivable
+    samples is cyclic over the pool (each sample is a contiguous run
+    starting at a random offset): the grapheme loss scores MASKED
+    positions, where the word itself is hidden, so the corpus must let
+    context determine the word — with i.i.d. word draws the masked id
+    is information-theoretically unpredictable and token_loss floors
+    at the unigram entropy no matter how long it trains (the round-4
+    red snapshot). Real text is context-predictable in exactly this
+    sense.
+
+    ``pool_size`` / ``words_per_sample`` size the task to the model
+    that must learn it: a 2-layer/h64 smoke model plateaus at the
+    unigram entropy on the default 64-word pool with 40-120-word
+    samples (too much content — measured round 5), but masters a
+    24-word pool with 6-14-word samples in ~300 steps, matching the
+    proven-learnable regime of the torch accuracy-parity gate
+    (tests/test_reference_training_equivalence.py)."""
     rng = np.random.default_rng(seed)
     alphabet = list("ɑɐɒæbdfɡhijklmnopqrstuvwzʃʒθðŋɹɾʔˈˌː")
     make_word = lambda: "".join(
@@ -148,15 +165,18 @@ def make_synthetic_corpus(
             )
         # lexicon scaled to the corpus: every word recurs often enough
         # for the head to memorize its mapping
-        pool = [make_word() for _ in range(max(64, min(4096, n_samples)))]
+        n_pool = (
+            pool_size if pool_size else max(64, min(4096, n_samples))
+        )
+        pool = [make_word() for _ in range(n_pool)]
         tid = {w: zlib.crc32(w.encode()) % token_vocab for w in pool}
     corpus = []
     for _ in range(n_samples):
-        n_words = int(rng.integers(40, 120))
+        n_words = int(rng.integers(*words_per_sample))
         if derivable:
+            start = int(rng.integers(0, len(pool)))
             words = [
-                pool[int(j)]
-                for j in rng.integers(0, len(pool), size=n_words)
+                pool[(start + j) % len(pool)] for j in range(n_words)
             ]
             record = {
                 "phonemes": words,
@@ -181,12 +201,23 @@ def load_training_dataset(name: str, split: str, token_vocab: int = 0):
     ``token_vocab`` (the model's num_token_vocab) adds the multi-task
     token_ids column."""
     if name.startswith("synthetic"):
-        n = int(name.split(":", 1)[1]) if ":" in name else 2048
-        derivable = name.split(":", 1)[0] in (
+        # spec: synthetic[-derivable]:N[:POOL[:WMIN-WMAX]] — POOL sizes
+        # the closed lexicon, WMIN-WMAX the words per sample (defaults
+        # keep the flagship-scale corpus; the small fields let smoke
+        # tests request a task a 2-layer model can actually master)
+        fields = name.split(":")
+        n = int(fields[1]) if len(fields) > 1 else 2048
+        derivable = fields[0] in (
             "synthetic-derivable", "synthetic_derivable"
         )
+        kwargs: dict = {}
+        if len(fields) > 2:
+            kwargs["pool_size"] = int(fields[2])
+        if len(fields) > 3:
+            lo, hi = fields[3].split("-")
+            kwargs["words_per_sample"] = (int(lo), int(hi))
         return make_synthetic_corpus(
-            n, token_vocab=token_vocab, derivable=derivable
+            n, token_vocab=token_vocab, derivable=derivable, **kwargs
         )
     if os.path.isdir(name):
         from pl_bert_tpu.data.packed_store import is_packed_store

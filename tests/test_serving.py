@@ -948,3 +948,192 @@ def test_client_b64_and_persistent_connection(encoder):
         client.close()
         server.shutdown()
         server.batcher.close()
+
+
+def test_keepalive_survives_post_error_paths(encoder, tmp_path):
+    """ADVICE r4: POST error replies (404 route, 501 reload-disabled,
+    403 guard) must drain the request body — otherwise the next request
+    on the persistent connection parses the stale body bytes as a
+    request line and the stream desyncs."""
+    import http.client
+
+    server = make_server(encoder, port=0, max_wait_ms=5.0)
+    serve_in_thread(server)
+    host, port = server.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    big = json.dumps({"payload": "x" * 4096}).encode()
+    try:
+        # 404 with a large body, then a normal request on the SAME socket
+        conn.request("POST", "/nope", body=big,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()  # client must drain its side too to reuse the socket
+        conn.request(
+            "POST", "/encode",
+            body=json.dumps({"phonemes": "qalam"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read())["length"] == 5
+
+        # 501 reload-disabled with a body, same socket again
+        conn.request("POST", "/reload", body=big,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 501
+        r.read()
+        conn.request(
+            "POST", "/encode",
+            body=json.dumps({"phonemes": "ab"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read())["length"] == 2
+    finally:
+        conn.close()
+        server.shutdown()
+        server.batcher.close()
+
+
+def test_http_reload_root_and_token_guards(tmp_path):
+    """ADVICE r4: /reload is constrained — checkpoints outside the
+    allowed root 403, a configured token must match X-Reload-Token, and
+    a request passing both guards reaches the loader."""
+    import http.client
+
+    from pl_bert_tpu.serving.server import attach_reload
+
+    enc, _ = _mini_encoder(41)
+    _, p2 = _mini_encoder(42)
+    root = tmp_path / "run"
+    root.mkdir()
+    (root / "step_2").mkdir()
+    outside = tmp_path / "evil"
+    outside.mkdir()
+    # a symlink under the root pointing outside must also be rejected
+    (root / "link").symlink_to(outside)
+
+    seen = []
+
+    def load_params(path):
+        seen.append(path)
+        return p2
+
+    server = make_server(enc, port=0, max_wait_ms=5.0)
+    attach_reload(server, load_params, root=str(root), token="s3cret")
+    serve_in_thread(server)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    def post_reload(ckpt, token=None):
+        req = urllib.request.Request(
+            base + "/reload",
+            data=json.dumps({"checkpoint": ckpt}).encode(),
+            headers={"Content-Type": "application/json",
+                     **({"X-Reload-Token": token} if token else {})},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            e.read()
+            return e.code
+
+    try:
+        # no token / wrong token → 403, loader never called
+        assert post_reload(str(root / "step_2")) == 403
+        assert post_reload(str(root / "step_2"), token="wrong") == 403
+        # right token, path outside the root → 403
+        assert post_reload(str(outside / "step_9"), token="s3cret") == 403
+        assert post_reload(str(root / "link" / "x"), token="s3cret") == 403
+        assert post_reload("/etc/passwd", token="s3cret") == 403
+        assert seen == []
+        # both guards pass → the loader runs and the swap succeeds
+        assert post_reload(str(root / "step_2"), token="s3cret") == 200
+        assert seen == [str(root / "step_2")]
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
+def test_client_b64_array_is_writable(encoder):
+    """ADVICE r4: the b64 decode path must return a WRITABLE array like
+    the JSON path (np.frombuffer views are read-only) — downstream
+    in-place normalization must work with either payload encoding."""
+    from pl_bert_tpu.serving.client import ServingClient
+
+    server = make_server(encoder, port=0, max_wait_ms=5.0)
+    serve_in_thread(server)
+    client = ServingClient(
+        f"http://127.0.0.1:{server.server_address[1]}", timeout_s=30
+    )
+    try:
+        for kwargs in ({}, {"encoding": "b64"},
+                       {"encoding": "b64", "dtype": "float16"}):
+            hidden, _ = client.encode("qalam", **kwargs)
+            assert hidden.flags.writeable, kwargs
+            hidden *= 2.0  # in-place op must not raise
+    finally:
+        client.close()
+        server.shutdown()
+        server.batcher.close()
+
+
+def test_client_timeout_is_not_retried():
+    """ADVICE r4 (medium): a request that merely exceeds timeout_s must
+    surface TimeoutError — NOT be silently re-sent (double-submitting a
+    non-idempotent POST exactly when the server is slow). A silent
+    server here receives exactly ONE request."""
+    import socket
+    import threading as th
+
+    from pl_bert_tpu.serving.client import ServingClient
+
+    received = []
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    stop = th.Event()
+
+    def accept_loop():
+        srv.settimeout(0.2)
+        conns = []
+        while not stop.is_set():
+            try:
+                c, _ = srv.accept()
+            except socket.timeout:
+                continue
+            c.settimeout(0.2)
+            try:
+                data = c.recv(65536)  # read the request, never reply
+                if data:
+                    received.append(data)
+            except socket.timeout:
+                pass
+            conns.append(c)  # hold open: the client must time out
+        for c in conns:
+            c.close()
+
+    t = th.Thread(target=accept_loop, daemon=True)
+    t.start()
+    client = ServingClient(
+        f"http://127.0.0.1:{srv.getsockname()[1]}", timeout_s=1.0
+    )
+    try:
+        t0 = time.monotonic()
+        with pytest.raises(TimeoutError):
+            client.encode("qalam")
+        elapsed = time.monotonic() - t0
+        # one submission only — a retry would both double `received`
+        # and take ~2x the timeout
+        assert len(received) == 1, received
+        assert elapsed < 1.9, elapsed
+    finally:
+        stop.set()
+        t.join(timeout=5)
+        srv.close()
+        client.close()
