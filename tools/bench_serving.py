@@ -70,13 +70,25 @@ def _utterances(n: int, seed: int = 0) -> list[str]:
     return out
 
 
-def _run_clients(n_clients: int, texts: list[str], call) -> list[float]:
+def _run_clients(
+    n_clients: int, texts: list[str], call, track=None
+) -> list[float]:
     """Closed-loop: each client thread pulls the next request off a
     shared cursor, so exactly len(texts) requests run with n_clients
-    in flight. Returns per-request client-observed latencies (s)."""
+    in flight. Returns per-request client-observed latencies (s).
+
+    ``track`` (optional dict) additionally collects ``done_at`` (per-
+    request completion perf_counter), ``errors`` (list of (index,
+    repr)) — failures are recorded, not raised, so a reload blip can be
+    QUANTIFIED — and ``completed`` (monotonic counter a watcher thread
+    may poll)."""
     lat = [0.0] * len(texts)
     cursor = iter(range(len(texts)))
     lock = threading.Lock()
+    if track is not None:
+        track.setdefault("done_at", [0.0] * len(texts))
+        track.setdefault("errors", [])
+        track.setdefault("completed", 0)
 
     def client():
         while True:
@@ -85,8 +97,18 @@ def _run_clients(n_clients: int, texts: list[str], call) -> list[float]:
             if i is None:
                 return
             t0 = time.perf_counter()
-            call(texts[i])
+            try:
+                call(texts[i])
+            except Exception as exc:  # noqa: BLE001 — quantified below
+                if track is None:
+                    raise
+                with lock:
+                    track["errors"].append((i, repr(exc)))
             lat[i] = time.perf_counter() - t0
+            if track is not None:
+                with lock:
+                    track["done_at"][i] = time.perf_counter()
+                    track["completed"] += 1
 
     threads = [threading.Thread(target=client) for _ in range(n_clients)]
     for t in threads:
@@ -141,7 +163,15 @@ def main(argv=None) -> None:
                         help="engine path only: load-balance across N "
                              "device-pinned replicas (0 = all local "
                              "devices)")
+    parser.add_argument("--reload_mid", action="store_true",
+                        help="(--http only) fire POST /reload with fresh "
+                             "weights once half the requests have "
+                             "completed — VERDICT r4 item 6: zero failed "
+                             "requests and a bounded latency blip under "
+                             "a live checkpoint swap")
     args = parser.parse_args(argv)
+    if args.reload_mid and not args.http:
+        parser.error("--reload_mid requires --http (it drives POST /reload)")
 
     import jax
 
@@ -179,6 +209,22 @@ def main(argv=None) -> None:
             max_wait_ms=args.max_wait_ms,
             pipeline_depth=args.pipeline_depth,
         )
+        if args.reload_mid:
+            from pl_bert_tpu.config import ModelParams
+            from pl_bert_tpu.models.albert import build_model, init_params
+            from pl_bert_tpu.serving.server import attach_reload
+
+            def load_fresh(path: str) -> dict:
+                # shape-identical fresh weights (a "new checkpoint"):
+                # the swap itself is what is under test, not orbax IO
+                seed = int(path.rsplit("_", 1)[-1])
+                mp = ModelParams(**(tiny or {}))
+                model = build_model(mp, "fp32")
+                return init_params(
+                    model, mp.max_position_embeddings, seed=seed
+                )["encoder"]
+
+            attach_reload(server, load_fresh)
         serve_in_thread(server)
         # one client, one persistent HTTP/1.1 connection per thread —
         # the production transport (client.py)
@@ -222,15 +268,59 @@ def main(argv=None) -> None:
         def call(text: str) -> None:
             batcher.encode(text, timeout=120)
 
-    try:
+    track: dict | None = {} if args.reload_mid else None
+    reload_info: dict = {}
+
+    def reload_watcher():
+        """Fire the checkpoint swap once half the load has completed."""
+        probe = texts[0]
+        rc = ServingClient(
+            f"http://127.0.0.1:{server.server_address[1]}", timeout_s=120
+        )
+        before, _ = rc.encode(probe)
+        while track["completed"] < args.requests // 2:
+            time.sleep(0.02)
         t0 = time.perf_counter()
-        lat = _run_clients(args.concurrency, texts, call)
+        rc.reload("fresh_7")
+        reload_info["fired_at"] = t0
+        reload_info["reload_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 1
+        )
+        after, _ = rc.encode(probe)
+        # the swap really changed the live weights
+        reload_info["weights_changed"] = bool(
+            not np.allclose(before, after, atol=1e-4)
+        )
+        rc.close()
+
+    try:
+        watcher = None
+        if args.reload_mid:
+            watcher = threading.Thread(target=reload_watcher, daemon=True)
+        t0 = time.perf_counter()
+        if watcher:
+            watcher.start()
+        lat = _run_clients(args.concurrency, texts, call, track=track)
         wall = time.perf_counter() - t0
+        if watcher:
+            watcher.join(timeout=180)
         stats = batcher.stats()
     finally:
         if server is not None:
             server.shutdown()
         batcher.close()
+
+    if args.reload_mid:
+        fired = reload_info.get("fired_at", float("inf"))
+        pre = [l for l, d in zip(lat, track["done_at"]) if d <= fired]
+        post = [l for l, d in zip(lat, track["done_at"]) if d > fired]
+        reload_info.update(
+            failed_requests=len(track["errors"]),
+            errors=track["errors"][:5],
+            pre_reload=_percentiles(pre) if pre else None,
+            post_reload=_percentiles(post) if post else None,
+        )
+        reload_info.pop("fired_at", None)
 
     out = {
         "metric": "serving_load" + ("_http" if args.http else "_engine"),
@@ -254,7 +344,15 @@ def main(argv=None) -> None:
         "queue_latency_ms": stats.get("latency_ms"),
         "backend": jax.default_backend(),
     }
+    if args.reload_mid:
+        out["metric"] = "serving_reload_under_load"
+        out["reload"] = reload_info
     print(json.dumps(out), flush=True)
+    if args.reload_mid and (
+        reload_info.get("failed_requests") != 0
+        or not reload_info.get("weights_changed")
+    ):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

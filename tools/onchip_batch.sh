@@ -75,6 +75,10 @@ run_item servb16   2400 python tools/bench_serving.py --http --encoding b64 --dt
 run_item mtrun     7200 python tools/run_integrated_multitask.py
 run_item accum     2400 python bench.py --accum
 run_item packed    2400 python bench.py --packed
+# round-5 additions (VERDICT r4 items 3, 4, 6)
+run_item production 2400 python bench.py --production
+run_item shardkernels 3600 python tools/compile_shard_kernels.py
+run_item servreload 2400 python tools/bench_serving.py --http --reload_mid
 ENVV=(PLBERT_TPU_TESTS=1)
 run_item hwtests   3600 python -m pytest tests/test_tpu_hardware.py -q --no-header
 ENVV=(DUMMY=1)
