@@ -30,7 +30,11 @@ BENCH_LEDGER.jsonl (onchip_batch.sh item `shardkernels`).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
