@@ -157,6 +157,11 @@ def _build(
         # A/B: 190.9k vs 181.2k tok/s); PLBERT_FUSED_LM_HEAD=0 forces
         # the chunked path for A/Bs, inert for the phoneme-only modes
         fused_lm_head=os.environ.get("PLBERT_FUSED_LM_HEAD", "1") != "0",
+        # masked-gather capacity for the 60k head; PLBERT_LM_CAPACITY
+        # overrides for chip A/Bs (config.py::lm_head_capacity)
+        lm_head_capacity=int(
+            os.environ.get("PLBERT_LM_CAPACITY", tp.lm_head_capacity)
+        ),
     )
     rng = jax.random.key(0, impl=tp.prng_impl)
     return state, train_step, rng, batch_sharding(mesh)
@@ -342,6 +347,12 @@ def run_multitask(config, mesh) -> None:
                 "baseline_anchor": "phoneme-only A100 estimate",
                 "fused_lm_head": (
                     os.environ.get("PLBERT_FUSED_LM_HEAD", "1") != "0"
+                ),
+                "lm_head_capacity": int(
+                    os.environ.get(
+                        "PLBERT_LM_CAPACITY",
+                        config.training_params.lm_head_capacity,
+                    )
                 ),
             }
         )

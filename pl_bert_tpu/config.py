@@ -153,6 +153,20 @@ class TrainingParams:
     # mtbase/mtfused); set false to reproduce the reference-exact
     # chunked trajectory.
     fused_lm_head: bool = True
+    # TPU build extension (multi-task only): per-sample masked-position
+    # gather capacity for the 60k grapheme head
+    # (ops/masked_ce.py::masked_lm_loss). The head projection runs on at
+    # most this many gathered positions per sample; a lax.cond falls
+    # back to the exact full-length path if any sample in the batch
+    # overflows, so EVERY value is exact — capacity only trades the
+    # dominant [rows,H]x[H,V] matmul's FLOPs against fallback frequency.
+    # At the reference masking setup (word_pred_prob 0.15, seq 512 —
+    # reference: dataloader.py:83-108) the measured masked-count
+    # distribution is mean 58 / sigma 18 / max-of-8192 = 135, so the
+    # default 192 is ~7.4 sigma (never falls back); 144 is ~4.8 sigma
+    # (zero exceedances in 8192 draws) and cuts head FLOPs 25%.
+    # 0 = disable the gather (always run the full-length path).
+    lm_head_capacity: int = 192
 
     def __post_init__(self) -> None:
         # coerce EVERY float field: PyYAML parses dot-less scientific
@@ -172,6 +186,11 @@ class TrainingParams:
         if self.grad_accum_steps < 1:
             raise ConfigError(
                 f"grad_accum_steps must be >= 1, got {self.grad_accum_steps}"
+            )
+        if self.lm_head_capacity < 0:
+            raise ConfigError(
+                f"lm_head_capacity must be >= 0 (0 = full-length path), "
+                f"got {self.lm_head_capacity}"
             )
         if self.lr_schedule not in ("constant", "linear", "cosine"):
             raise ConfigError(

@@ -298,7 +298,7 @@ def masked_lm_loss(
     """
     B, L, H = hidden.shape
     inner = masked_lm_loss_fused if fused else masked_lm_loss_chunked
-    if capacity >= L:
+    if capacity <= 0 or capacity >= L:
         return inner(
             hidden, kernel, bias, labels, mask_positions, lengths, chunk_size
         )

@@ -549,6 +549,7 @@ class Trainer:
             lr_schedule=make_lr_schedule(tp),
             opt_shardings=self.opt_shardings if tp.zero1 else None,
             fused_lm_head=tp.fused_lm_head,
+            lm_head_capacity=tp.lm_head_capacity,
         )
         self.eval_step = make_eval_step(
             self.model, self.use_token_ids, masking_params=self.masking_params

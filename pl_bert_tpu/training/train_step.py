@@ -99,7 +99,7 @@ def make_optimizer(tp: TrainingParams) -> optax.GradientTransformation:
 
 def _forward_loss(
     model, params, batch, rngs, deterministic, use_token_ids,
-    compute_token_loss=True, fused_lm_head=False,
+    compute_token_loss=True, fused_lm_head=False, lm_head_capacity=192,
 ):
     """``compute_token_loss=False`` (eval) skips the grapheme head: the
     model returns hidden unused, so XLA dead-code-eliminates the 60k
@@ -135,7 +135,7 @@ def _forward_loss(
         loss_t = masked_lm_loss(
             hidden, head["kernel"], head["bias"], batch["token_ids"],
             batch["mask_positions"], batch["lengths"],
-            fused=fused_lm_head,
+            capacity=lm_head_capacity, fused=fused_lm_head,
         )
         return loss_p + loss_t, (phoneme_logits, loss_p, loss_t)
     out = model.apply(
@@ -196,6 +196,7 @@ def make_train_step(
     lr_schedule=None,
     opt_shardings=None,
     fused_lm_head: bool = False,
+    lm_head_capacity: int = 192,
 ):
     """Build the jitted (state, batch, rng) → (state, metrics) step.
 
@@ -238,6 +239,7 @@ def make_train_step(
             loss, (_, loss_p, loss_t) = _forward_loss(
                 model, params, mb, {"dropout": mrng}, False, use_token_ids,
                 fused_lm_head=fused_lm_head,
+                lm_head_capacity=lm_head_capacity,
             )
             # scale the per-micro mean by its sample count: the scan
             # accumulates sums-over-samples and normalizes once at the
@@ -296,6 +298,7 @@ def make_train_step(
             return _forward_loss(
                 model, params, batch, {"dropout": rng}, False, use_token_ids,
                 fused_lm_head=fused_lm_head,
+                lm_head_capacity=lm_head_capacity,
             )
 
         (loss, (_, loss_p, loss_t)), grads = jax.value_and_grad(

@@ -81,3 +81,17 @@ def test_reference_config_loads_verbatim():
 
     model = build_model(cfg.model_params, cfg.training_params.mixed_precision)
     assert model.cfg.dtype == jnp.bfloat16
+
+
+def test_lm_head_capacity_validated_and_threaded():
+    with pytest.raises(ConfigError):
+        Config.from_dict(
+            {"training_params": {"lm_head_capacity": -1}}
+        )
+    cfg = Config.from_dict(
+        {"training_params": {"lm_head_capacity": 144}}
+    )
+    assert cfg.training_params.lm_head_capacity == 144
+    # default stays the conservative 192 (≈7.4σ above the measured
+    # masked-count distribution at the reference masking setup)
+    assert Config().training_params.lm_head_capacity == 192

@@ -440,3 +440,34 @@ def test_fused_lm_loss_bf16_kernel_grad_close():
     denom = float(jnp.max(jnp.abs(g_ref)))
     err = float(jnp.max(jnp.abs(g_ref - g_fus))) / max(denom, 1e-30)
     assert err < 2e-2, err
+
+
+def test_capacity_zero_disables_gather_bitwise():
+    """lm_head_capacity 0 (config.py) means "always the full-length
+    path": masked_lm_loss(capacity=0) must be BITWISE the chunked/fused
+    inner on the ungathered sequence, with no gather cond in between."""
+    import jax.numpy as jnp
+
+    from pl_bert_tpu.ops.masked_ce import (
+        masked_lm_loss, masked_lm_loss_chunked, masked_lm_loss_fused,
+    )
+
+    rng = np.random.default_rng(33)
+    B, L, H, V = 4, 32, 8, 41
+    hidden = jnp.asarray(rng.standard_normal((B, L, H)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((H, V)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(V) * 0.01, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, (B, L)), jnp.int32)
+    mask = jnp.asarray(rng.random((B, L)) < 0.25)
+    lengths = jnp.asarray([32, 28, 9, 32], jnp.int32)
+
+    for fused, inner in (
+        (False, masked_lm_loss_chunked),
+        (True, masked_lm_loss_fused),
+    ):
+        got = masked_lm_loss(
+            hidden, kernel, bias, labels, mask, lengths,
+            capacity=0, chunk_size=8, fused=fused,
+        )
+        want = inner(hidden, kernel, bias, labels, mask, lengths, 8)
+        assert float(got) == float(want), fused

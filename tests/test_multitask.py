@@ -425,3 +425,49 @@ def test_synthetic_derivable_corpus_is_learnable(tmp_path):
     # ln(vocab) plateau random labels sit at
     assert tail < 0.6 * math.log(T), rows[-3:]
     assert tail < rows[0]["token_loss"] * 0.65, (rows[0], tail)
+
+
+def test_lm_head_capacity_threads_to_step_and_preserves_loss(tmp_path):
+    """config.training_params.lm_head_capacity reaches the jitted step
+    (train.py -> make_train_step -> masked_lm_loss) and changes only the
+    schedule of the 60k-head matmul, not its value: the first-step
+    token_loss under the gather (capacity 16) matches the full-length
+    path (capacity 0) to f32 rounding."""
+    losses = {}
+    for cap in (0, 16):
+        raw = {
+            "training_params": {
+                "output_dir": str(tmp_path / f"ckpt{cap}"),
+                "batch_size": 8,
+                "save_interval": 100,
+                "log_interval": 2,
+                "num_steps": 2,
+                "learning_rate": 1e-3,
+                "training_dataset": "synthetic:48",
+                "mixed_precision": "fp32",
+                "lm_head_capacity": cap,
+            },
+            "dataset_params": {"max_seq_length": 64, "word_separator": 87},
+            "model_params": {
+                "hidden_size": 64,
+                "num_attention_heads": 4,
+                "intermediate_size": 128,
+                "max_position_embeddings": 64,
+                "num_hidden_layers": 2,
+                "embedding_size": 32,
+                "dropout": 0.0,
+                "attention_impl": "xla",
+                "num_token_vocab": 100,
+            },
+        }
+        config = Config.from_dict(raw)
+        trainer = Trainer(
+            config, str(tmp_path / f"run{cap}"), False, dataset=_corpus()
+        )
+        batch = next(iter(trainer._train_batches(epoch=1)))
+        _, m = trainer.train_step(
+            trainer.state, trainer._put(batch), trainer.base_rng
+        )
+        losses[cap] = float(m["token_loss"])
+        assert losses[cap] > 0
+    assert abs(losses[0] - losses[16]) < 1e-5, losses
