@@ -77,6 +77,14 @@ run_item accum     2400 python bench.py --accum
 run_item packed    2400 python bench.py --packed
 # round-5 additions (VERDICT r4 items 3, 4, 6)
 run_item production 2400 python bench.py --production
+# round-5 session-4: grapheme-head gather capacity A/B (config knob
+# lm_head_capacity; 144 = 4.8 sigma, zero fallbacks expected; 128 =
+# 3.9 sigma, ~3.5% of batches take the exact full-length cond fallback)
+ENVV=(PLBERT_LM_CAPACITY=144)
+run_item mtcap144  2400 python bench.py --multitask
+ENVV=(PLBERT_LM_CAPACITY=128)
+run_item mtcap128  2400 python bench.py --multitask
+ENVV=(DUMMY=1)
 run_item shardkernels 3600 python tools/compile_shard_kernels.py
 run_item servreload 2400 python tools/bench_serving.py --http --reload_mid
 ENVV=(PLBERT_TPU_TESTS=1)
