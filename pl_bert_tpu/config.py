@@ -162,11 +162,16 @@ class TrainingParams:
     # dominant [rows,H]x[H,V] matmul's FLOPs against fallback frequency.
     # At the reference masking setup (word_pred_prob 0.15, seq 512 —
     # reference: dataloader.py:83-108) the measured masked-count
-    # distribution is mean 58 / sigma 18 / max-of-8192 = 135, so the
-    # default 192 is ~7.4 sigma (never falls back); 144 is ~4.8 sigma
-    # (zero exceedances in 8192 draws) and cuts head FLOPs 25%.
+    # distribution is mean 58 / sigma 18 / max-of-8192 = 135: the
+    # default 144 is ~4.8 sigma (zero exceedances in 8192 draws) and
+    # was chip-measured at 201.0k vs 190.9k multitask tok/s (+5.2%)
+    # against the previous 192 (~7.4 sigma; BENCH_LEDGER mtcap144).
+    # 128 measured SLOWER (186.5k): ~3.5% of batches overflow and take
+    # the 2.7x-FLOPs exact fallback. Raise this if a corpus/masking
+    # config masks well past 144 tokens per sample (the fallback keeps
+    # every value exact either way — capacity only trades speed).
     # 0 = disable the gather (always run the full-length path).
-    lm_head_capacity: int = 192
+    lm_head_capacity: int = 144
 
     def __post_init__(self) -> None:
         # coerce EVERY float field: PyYAML parses dot-less scientific

@@ -92,6 +92,7 @@ def test_lm_head_capacity_validated_and_threaded():
         {"training_params": {"lm_head_capacity": 144}}
     )
     assert cfg.training_params.lm_head_capacity == 144
-    # default stays the conservative 192 (≈7.4σ above the measured
-    # masked-count distribution at the reference masking setup)
-    assert Config().training_params.lm_head_capacity == 192
+    # default is the chip-adopted 144 (≈4.8σ above the measured
+    # masked-count distribution at the reference masking setup;
+    # 201.0k vs 191.0k tok/s multitask — BENCH_LEDGER mtcap144)
+    assert Config().training_params.lm_head_capacity == 144
