@@ -352,6 +352,28 @@ class Trainer:
                 "separator positions use that id as their grapheme label "
                 "(reference: dataloader.py:67-68)"
             )
+        if (
+            self.use_token_ids
+            and 0 < tp.lm_head_capacity < dp.max_seq_length
+            # expected masked tokens/sample ≈ 0.75 × word_pred_prob × L
+            # (measured at the reference setup: mean 58 ≈ 0.75·0.15·512);
+            # 2× the mean clears the observed tail with margin, so a
+            # capacity below that will overflow often enough that the
+            # exact full-length fallback erases the gather's speedup
+            and tp.lm_head_capacity
+            < 1.5 * dp.word_pred_prob * dp.max_seq_length
+            and is_main_process()
+        ):
+            print(
+                f"WARNING: lm_head_capacity ({tp.lm_head_capacity}) is "
+                f"below 2x the expected masked tokens per sample "
+                f"(~{0.75 * dp.word_pred_prob * dp.max_seq_length:.0f} at "
+                f"word_pred_prob {dp.word_pred_prob}, seq "
+                f"{dp.max_seq_length}); the exact full-length fallback "
+                "will fire often and slow the step — raise "
+                "lm_head_capacity (or set 0 to disable the gather).",
+                flush=True,
+            )
 
         if dataset is None:
             dataset = load_training_dataset(

@@ -471,3 +471,50 @@ def test_lm_head_capacity_threads_to_step_and_preserves_loss(tmp_path):
         losses[cap] = float(m["token_loss"])
         assert losses[cap] > 0
     assert abs(losses[0] - losses[16]) < 1e-5, losses
+
+
+def test_lm_head_capacity_undersized_warning(tmp_path, capsys):
+    """A capacity well under the expected masked-token count warns at
+    Trainer construction (the lax.cond fallback keeps values exact, so
+    an undersized capacity is a silent SLOWDOWN — surface it)."""
+    def build(capacity, wpp):
+        raw = {
+            "training_params": {
+                "output_dir": str(tmp_path / f"c{capacity}w{wpp}"),
+                "batch_size": 8,
+                "save_interval": 100,
+                "log_interval": 2,
+                "num_steps": 2,
+                "learning_rate": 1e-3,
+                "training_dataset": "synthetic:48",
+                "mixed_precision": "fp32",
+                "lm_head_capacity": capacity,
+            },
+            "dataset_params": {
+                "max_seq_length": 64,
+                "word_separator": 87,
+                "word_pred_prob": wpp,
+            },
+            "model_params": {
+                "hidden_size": 64,
+                "num_attention_heads": 4,
+                "intermediate_size": 128,
+                "max_position_embeddings": 64,
+                "num_hidden_layers": 2,
+                "embedding_size": 32,
+                "attention_impl": "xla",
+                "num_token_vocab": 100,
+            },
+        }
+        Trainer(
+            Config.from_dict(raw),
+            str(tmp_path / f"run{capacity}w{wpp}"),
+            False,
+            dataset=_corpus(),
+        )
+        return capsys.readouterr().out
+
+    # 16 < 1.5 * 0.45 * 64 = 43.2 -> warns
+    assert "lm_head_capacity (16)" in build(16, 0.45)
+    # 16 >= 1.5 * 0.15 * 64 = 14.4 -> silent at the reference masking
+    assert "WARNING: lm_head_capacity" not in build(16, 0.15)
