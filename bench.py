@@ -471,6 +471,12 @@ def run_production(config, mesh, accum: int = 2) -> None:
                 ),
                 "config": "multitask60k+packed+fused_lm_head"
                           f"+accum{accum}",
+                "lm_head_capacity": int(
+                    os.environ.get(
+                        "PLBERT_LM_CAPACITY",
+                        config.training_params.lm_head_capacity,
+                    )
+                ),
                 "effective_batch": accum * BATCH,
                 "occupancy": round(avg_real / (accum * BATCH * SEQ), 3),
                 # the anchor is the phoneme-only PADDED A100 estimate,
