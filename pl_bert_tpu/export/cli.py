@@ -31,8 +31,15 @@ def main(argv=None) -> str:
 
     config = Config.load(args.config_path)
     model = build_model(config.model_params, mixed_precision="fp32")
-    template = init_params(
-        model, config.dataset_params.max_seq_length, seed=0
+    # abstract template: export only needs structure/shape validation and
+    # host arrays — a concrete init would compile a device forward for
+    # nothing (checkpoint.py::_place_like handles the abstract case)
+    import jax
+
+    template = jax.eval_shape(
+        lambda: init_params(
+            model, config.dataset_params.max_seq_length, seed=0
+        )
     )
     params = load_params_only(args.checkpoint_path, template)
 

@@ -145,15 +145,28 @@ class PhonemeEncoder:
     ) -> dict:
         """The encoder sub-tree of a training ``step_N`` checkpoint (or
         reference ``.pth``) — what :meth:`from_checkpoint` builds from
-        and :meth:`swap_params` reloads."""
+        and :meth:`swap_params` reloads.
+
+        The restore template is built ABSTRACTLY (``jax.eval_shape``):
+        it exists only to pin tree structure + shapes, and a concrete
+        ``model.init`` here would compile and run a full device forward
+        — tens of tunnel-seconds that, on the serving ``/reload`` path,
+        starve live traffic for the duration (measured: the round-4
+        ``servreload`` p95 blip was dominated by exactly that compile).
+        Host-side restore + one ``device_put`` transfer instead."""
         from pl_bert_tpu.models.albert import build_model
         from pl_bert_tpu.training.checkpoint import load_params_only
 
         if isinstance(config, str):
             config = Config.load(config)
         model = build_model(config.model_params, "fp32")
-        template = init_params(model, config.dataset_params.max_seq_length)
-        return load_params_only(checkpoint_path, template)["encoder"]
+        template = jax.eval_shape(
+            lambda: init_params(model, config.dataset_params.max_seq_length)
+        )
+        params = load_params_only(checkpoint_path, template)["encoder"]
+        # one transfer (no compile); uncommitted default-device placement
+        # so the jitted forward never re-uploads params per call
+        return jax.device_put(params)
 
     @classmethod
     def from_checkpoint(

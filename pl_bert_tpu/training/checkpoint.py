@@ -160,14 +160,19 @@ class AsyncCheckpointWriter:
 def _place_like(template: Any, tree: Any) -> Any:
     """Place restored leaves onto the template's shardings (multi-process
     safe: every process restores the full array from disk and contributes
-    its addressable shards)."""
+    its addressable shards). An ABSTRACT template (``jax.eval_shape``
+    ShapeDtypeStructs, ``sharding=None``) yields host numpy arrays —
+    loaders that only need structure/shape validation (serving /reload,
+    HF export) use this to avoid compiling a device-side ``model.init``
+    just to build the restore template."""
     from pl_bert_tpu.parallel.mesh import put_global
 
     def place(tmpl, arr):
-        if hasattr(tmpl, "sharding"):
-            return put_global(
-                np.asarray(arr, dtype=tmpl.dtype), tmpl.sharding
-            )
+        sharding = getattr(tmpl, "sharding", None)
+        if sharding is not None:
+            return put_global(np.asarray(arr, dtype=tmpl.dtype), sharding)
+        if isinstance(tmpl, jax.ShapeDtypeStruct):
+            return np.asarray(arr, dtype=tmpl.dtype)
         return arr
 
     return jax.tree.map(place, template, tree)

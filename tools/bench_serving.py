@@ -210,21 +210,46 @@ def main(argv=None) -> None:
             pipeline_depth=args.pipeline_depth,
         )
         if args.reload_mid:
-            from pl_bert_tpu.config import ModelParams
+            import tempfile
+
+            from pl_bert_tpu.config import Config, DatasetParams, ModelParams
             from pl_bert_tpu.models.albert import build_model, init_params
+            from pl_bert_tpu.models.inference import PhonemeEncoder
             from pl_bert_tpu.serving.server import attach_reload
+            from pl_bert_tpu.training.checkpoint import save_checkpoint
 
-            def load_fresh(path: str) -> dict:
-                # shape-identical fresh weights (a "new checkpoint"):
-                # the swap itself is what is under test, not orbax IO
-                seed = int(path.rsplit("_", 1)[-1])
-                mp = ModelParams(**(tiny or {}))
-                model = build_model(mp, "fp32")
-                return init_params(
-                    model, mp.max_position_embeddings, seed=seed
-                )["encoder"]
+            # a REAL on-disk step_N with shape-identical fresh weights,
+            # written up front (untimed): the reload under test is the
+            # exact production path — host orbax restore + one transfer
+            # + swap (server.py /reload with checkpoint_encoder_params).
+            # Weights are generated host-side (no device init) so setup
+            # stays off the device too.
+            mp = ModelParams(**(tiny or {}))
+            cfg = Config(
+                model_params=mp,
+                dataset_params=DatasetParams(
+                    max_seq_length=mp.max_position_embeddings
+                ),
+            )
+            model = build_model(mp, "fp32")
+            template = jax.eval_shape(
+                lambda: init_params(model, mp.max_position_embeddings)
+            )
+            nrng = np.random.default_rng(7)
+            fresh = jax.tree.map(
+                lambda s: (nrng.standard_normal(s.shape) * 0.02).astype(
+                    s.dtype
+                ),
+                template,
+            )
+            ckpt_dir = tempfile.mkdtemp(prefix="reload_bench_")
+            reload_ckpt = save_checkpoint(ckpt_dir, 7, fresh, {})
 
-            attach_reload(server, load_fresh)
+            attach_reload(
+                server,
+                lambda p: PhonemeEncoder.checkpoint_encoder_params(p, cfg),
+                root=ckpt_dir,
+            )
         serve_in_thread(server)
         # one client, one persistent HTTP/1.1 connection per thread —
         # the production transport (client.py)
@@ -281,7 +306,7 @@ def main(argv=None) -> None:
         while track["completed"] < args.requests // 2:
             time.sleep(0.02)
         t0 = time.perf_counter()
-        rc.reload("fresh_7")
+        rc.reload(reload_ckpt)
         reload_info["fired_at"] = t0
         reload_info["reload_ms"] = round(
             (time.perf_counter() - t0) * 1e3, 1
