@@ -246,3 +246,42 @@ def test_validation_excludes_zero_mask_batches(tmp_path):
     loss, acc = val
     assert np.isfinite(loss) and loss > 0.0
     assert tr2._last_val_batches >= 1
+
+
+def test_load_params_only_abstract_template_stays_on_host(tmp_path):
+    """An ABSTRACT restore template (jax.eval_shape ShapeDtypeStructs)
+    yields host numpy arrays, bitwise equal to the concrete-template
+    restore — the serving /reload and HF-export loaders rely on this to
+    avoid compiling a device-side model.init just to pin the tree
+    structure (checkpoint.py::_place_like)."""
+    import jax
+
+    from pl_bert_tpu.models.albert import build_model, init_params
+    from pl_bert_tpu.training.checkpoint import load_params_only
+    from pl_bert_tpu.training.train import Trainer
+
+    cfg = Config.load(_write_config(tmp_path))
+    Trainer(cfg, str(tmp_path / "run"), resuming=False).train()
+    ckpt = str(tmp_path / "run" / "step_4")
+
+    model = build_model(cfg.model_params, "fp32")
+    concrete = load_params_only(
+        ckpt, init_params(model, 64, seed=0)
+    )
+    abstract = load_params_only(
+        ckpt, jax.eval_shape(lambda: init_params(model, 64, seed=0))
+    )
+    leaves_a = jax.tree_util.tree_leaves_with_path(abstract)
+    leaves_c = dict(
+        (jax.tree_util.keystr(p), l)
+        for p, l in jax.tree_util.tree_leaves_with_path(concrete)
+    )
+    assert leaves_a, "empty restore"
+    for path, leaf in leaves_a:
+        assert isinstance(leaf, np.ndarray), (
+            f"{jax.tree_util.keystr(path)} is {type(leaf)}, expected "
+            "host numpy under an abstract template"
+        )
+        np.testing.assert_array_equal(
+            leaf, np.asarray(leaves_c[jax.tree_util.keystr(path)])
+        )
